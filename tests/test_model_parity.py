@@ -1,0 +1,294 @@
+"""End-to-end numerical parity: reference torch models vs converted flax models.
+
+Strategy (SURVEY.md §7 step 2-3): instantiate the *reference* torch modules
+with random weights, run them in eval mode under torch-0.4 grid_sample
+semantics (align_corners=True monkeypatch — modern torch changed the
+default), convert the state_dict with our converter, and require the flax
+forward to match to float32 tolerance.  This proves converter fidelity and
+module-for-module numerical equivalence without any pretrained download.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+
+from sg2im_tpu.ckpt.torch_convert import (
+    convert_ac_discriminator_state,
+    convert_generator_state,
+    convert_patch_discriminator_state,
+)
+from sg2im_tpu.models import (
+    AcCropDiscriminator,
+    PatchDiscriminator,
+    Sg2ImGenerator,
+)
+
+VOCAB = {
+    "object_idx_to_name": ["__image__", "cat", "dog", "sky"],
+    "object_name_to_idx": {"__image__": 0, "cat": 1, "dog": 2, "sky": 3},
+    "pred_idx_to_name": ["__in_image__", "left of", "above"],
+    "pred_name_to_idx": {"__in_image__": 0, "left of": 1, "above": 2},
+}
+
+
+@pytest.fixture(autouse=True)
+def _torch04_grid_sample(monkeypatch):
+    """Pin torch-0.4 grid_sample semantics for the reference code."""
+    orig = F.grid_sample
+
+    def grid_sample_04(input, grid, **kw):
+        kw.setdefault("align_corners", True)
+        kw.setdefault("padding_mode", "zeros")
+        return orig(input, grid, **kw)
+
+    monkeypatch.setattr(F, "grid_sample", grid_sample_04)
+    torch.manual_seed(0)
+
+
+def _randomize_bn_stats(module):
+    """Fill BN running stats with nontrivial values so conversion is tested."""
+    g = torch.Generator().manual_seed(7)
+    for m in module.modules():
+        if hasattr(m, "running_mean") and m.running_mean is not None:
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.3)
+            m.running_var.copy_(
+                torch.rand(m.running_var.shape, generator=g) * 1.5 + 0.3)
+
+
+# Flat (reference) inputs: 2 images, 7 objects total.
+FLAT_OBJS = np.array([1, 2, 0, 3, 1, 2, 0], np.int64)
+FLAT_TRIPLES = np.array(
+    [
+        [0, 1, 1], [0, 0, 2], [1, 0, 2],          # image 0 (objects 0..2)
+        [3, 2, 4], [4, 1, 5], [3, 0, 6], [5, 0, 6],  # image 1 (objects 3..6)
+    ],
+    np.int64,
+)
+FLAT_O2I = np.array([0, 0, 0, 1, 1, 1, 1], np.int64)
+FLAT_BOXES = np.array(
+    [
+        [0.1, 0.2, 0.5, 0.7], [0.4, 0.1, 0.9, 0.6], [0.0, 0.0, 1.0, 1.0],
+        [0.2, 0.3, 0.6, 0.9], [0.5, 0.05, 0.95, 0.5], [0.1, 0.5, 0.45, 0.95],
+        [0.0, 0.0, 1.0, 1.0],
+    ],
+    np.float32,
+)
+
+
+def _padded_inputs(O_max=5, T_max=6):
+    """Pad the flat fixture to (N=2, O_max, T_max) with within-image indices."""
+    N = 2
+    objs = np.zeros((N, O_max), np.int32)
+    obj_mask = np.zeros((N, O_max), bool)
+    boxes = np.zeros((N, O_max, 4), np.float32)
+    triples = np.zeros((N, T_max, 3), np.int32)
+    triple_mask = np.zeros((N, T_max), bool)
+    offsets = [0, 3]
+    counts = [3, 4]
+    for n in range(N):
+        off, c = offsets[n], counts[n]
+        objs[n, :c] = FLAT_OBJS[off:off + c]
+        obj_mask[n, :c] = True
+        boxes[n, :c] = FLAT_BOXES[off:off + c]
+        rows = [t for t in FLAT_TRIPLES if off <= t[0] < off + c]
+        for j, (s, p, o) in enumerate(rows):
+            triples[n, j] = [s - off, p, o - off]
+            triple_mask[n, j] = True
+    return objs, triples, obj_mask, triple_mask, boxes
+
+
+GEN_KWARGS = dict(
+    image_size=(16, 16),
+    embedding_dim=16,
+    gconv_dim=24,
+    gconv_hidden_dim=32,
+    gconv_num_layers=3,
+    refinement_dims=(16, 8),
+    normalization="batch",
+    activation="leakyrelu-0.2",
+    mask_size=4,
+    mlp_normalization="none",
+    layout_noise_dim=0,
+)
+
+
+def _build_reference_generator(**overrides):
+    from sg2im.model import Sg2ImModel
+
+    kw = dict(GEN_KWARGS, **overrides)
+    model = Sg2ImModel(vocab=VOCAB, **kw)
+    model.eval()
+    _randomize_bn_stats(model)
+    return model, kw
+
+
+def _run_reference_generator(model, boxes_gt=None, masks_gt=None):
+    with torch.no_grad():
+        img, boxes_pred, masks_pred, rel_scores = model(
+            torch.from_numpy(FLAT_OBJS),
+            torch.from_numpy(FLAT_TRIPLES),
+            torch.from_numpy(FLAT_O2I),
+            boxes_gt=None if boxes_gt is None else torch.from_numpy(boxes_gt),
+            masks_gt=None if masks_gt is None else torch.from_numpy(masks_gt),
+        )
+    return (
+        img.permute(0, 2, 3, 1).numpy(),
+        boxes_pred.numpy(),
+        None if masks_pred is None else masks_pred.numpy(),
+        rel_scores.numpy(),
+    )
+
+
+def _scatter_per_image(flat, O_max=5):
+    """(O_total, ...) -> (2, O_max, ...) using the fixture's image split."""
+    out = np.zeros((2, O_max) + flat.shape[1:], flat.dtype)
+    out[0, :3] = flat[:3]
+    out[1, :4] = flat[3:]
+    return out
+
+
+@pytest.mark.parametrize("overrides", [
+    {},
+    {"normalization": "instance"},
+    {"mask_size": 0},
+    {"gconv_num_layers": 1},
+    {"gconv_num_layers": 0},
+    {"gconv_pooling": "sum"},
+])
+def test_generator_parity(overrides):
+    ref, kw = _build_reference_generator(**overrides)
+    want_img, want_boxes, want_masks, want_rel = _run_reference_generator(
+        ref, boxes_gt=FLAT_BOXES)
+
+    variables = convert_generator_state(ref.state_dict())
+    gen = Sg2ImGenerator(vocab=VOCAB, **{
+        k: (v if k != "mask_size" else (v or None)) for k, v in kw.items()})
+    objs, triples, obj_mask, triple_mask, boxes = _padded_inputs()
+    got_img, got_boxes, got_masks, got_rel = gen.apply(
+        variables, jnp.asarray(objs), jnp.asarray(triples),
+        jnp.asarray(obj_mask), jnp.asarray(triple_mask),
+        boxes_gt=jnp.asarray(_scatter_per_image(FLAT_BOXES)),
+        train=False,
+    )
+    got_img = np.asarray(got_img)
+    np.testing.assert_allclose(got_img, want_img, atol=2e-4)
+
+    pb = _scatter_per_image(want_boxes)
+    np.testing.assert_allclose(
+        np.asarray(got_boxes) * _scatter_per_image(
+            np.ones((7, 1), np.float32)),
+        pb, atol=1e-4)
+
+    if want_masks is not None:
+        pm = _scatter_per_image(want_masks)
+        np.testing.assert_allclose(
+            np.asarray(got_masks) * _scatter_per_image(
+                np.ones((7, 1), np.float32))[..., None],
+            pm, atol=1e-4)
+
+    # rel_scores: image 0 has 3 triples, image 1 has 4.
+    got_rel = np.asarray(got_rel)
+    np.testing.assert_allclose(got_rel[0, :3], want_rel[:3], atol=1e-4)
+    np.testing.assert_allclose(got_rel[1, :4], want_rel[3:], atol=1e-4)
+
+
+def test_generator_masks_gt_path():
+    ref, kw = _build_reference_generator()
+    rng = np.random.RandomState(3)
+    masks_gt = (rng.rand(7, 4, 4) > 0.5).astype(np.float32)
+    want_img, *_ = _run_reference_generator(ref, boxes_gt=FLAT_BOXES,
+                                            masks_gt=masks_gt)
+    variables = convert_generator_state(ref.state_dict())
+    gen = Sg2ImGenerator(vocab=VOCAB, **kw)
+    objs, triples, obj_mask, triple_mask, _ = _padded_inputs()
+    got_img, *_ = gen.apply(
+        variables, jnp.asarray(objs), jnp.asarray(triples),
+        jnp.asarray(obj_mask), jnp.asarray(triple_mask),
+        boxes_gt=jnp.asarray(_scatter_per_image(FLAT_BOXES)),
+        masks_gt=jnp.asarray(_scatter_per_image(masks_gt)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got_img), want_img, atol=2e-4)
+
+
+def test_patch_discriminator_parity():
+    from sg2im.discriminators import PatchDiscriminator as RefPatchD
+
+    ref = RefPatchD(arch="C4-64-2,C4-128-2", normalization="batch",
+                    activation="leakyrelu-0.2", padding="valid")
+    ref.eval()
+    _randomize_bn_stats(ref)
+    rng = np.random.RandomState(4)
+    imgs = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(imgs)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_patch_discriminator_state(ref.state_dict())
+    mine = PatchDiscriminator(arch="C4-64-2,C4-128-2", normalization="batch",
+                              activation="leakyrelu-0.2", padding="valid")
+    got = mine.apply(variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+                     train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_ac_crop_discriminator_parity():
+    from sg2im.discriminators import AcCropDiscriminator as RefAcD
+
+    ref = RefAcD(vocab=VOCAB, arch="C4-32-2,C4-64-2", normalization="none",
+                 activation="relu", padding="valid", object_size=16)
+    ref.eval()
+    rng = np.random.RandomState(5)
+    imgs = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want_scores, want_ac = ref(
+            torch.from_numpy(imgs), torch.from_numpy(FLAT_OBJS),
+            torch.from_numpy(FLAT_BOXES), torch.from_numpy(FLAT_O2I))
+
+    variables = convert_ac_discriminator_state(ref.state_dict())
+    mine = AcCropDiscriminator(vocab=VOCAB, arch="C4-32-2,C4-64-2",
+                               normalization="none", activation="relu",
+                               padding="valid", object_size=16)
+    objs, _, obj_mask, _, boxes = _padded_inputs()
+    got_scores, got_logits = mine.apply(
+        variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+        jnp.asarray(_scatter_per_image(FLAT_BOXES)), train=False)
+    got_scores = np.asarray(got_scores)
+    np.testing.assert_allclose(got_scores[0, :3], want_scores[:3].numpy(),
+                               atol=2e-4)
+    np.testing.assert_allclose(got_scores[1, :4], want_scores[3:].numpy(),
+                               atol=2e-4)
+
+    # AC loss parity via masked cross-entropy over real objects.
+    from sg2im_tpu.losses import cross_entropy
+
+    got_ac = cross_entropy(jnp.asarray(got_logits), jnp.asarray(objs),
+                           jnp.asarray(obj_mask))
+    np.testing.assert_allclose(float(got_ac), float(want_ac), atol=2e-4)
+
+
+def test_init_tree_matches_converted_tree():
+    """Freshly-initialized flax params must have identical tree structure and
+    shapes to the converted reference state (guards naming drift)."""
+    ref, kw = _build_reference_generator()
+    converted = convert_generator_state(ref.state_dict())
+    gen = Sg2ImGenerator(vocab=VOCAB, **kw)
+    objs, triples, obj_mask, triple_mask, boxes = _padded_inputs()
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(objs), jnp.asarray(triples), jnp.asarray(obj_mask),
+        jnp.asarray(triple_mask), boxes_gt=jnp.asarray(boxes), train=False,
+    )
+    want = jax.tree.structure(variables["params"])
+    got = jax.tree.structure(converted["params"])
+    assert want == got, f"param tree mismatch:\n{want}\nvs\n{got}"
+    shapes_w = jax.tree.map(lambda a: a.shape, variables["params"])
+    shapes_g = jax.tree.map(lambda a: np.asarray(a).shape, converted["params"])
+    assert shapes_w == shapes_g
