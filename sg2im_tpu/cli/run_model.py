@@ -1,0 +1,83 @@
+"""run_model CLI: JSON scene graphs -> PNG images.
+
+TPU-native replacement for reference ``scripts/run_model.py``.  Accepts the
+reference's pretrained ``.pt`` checkpoints directly (converted on load).
+
+Example:
+    python -m sg2im_tpu.cli.run_model \
+        --checkpoint sg2im-models/vg128.pt \
+        --scene_graphs_json scene_graphs/figure_6_sheep.json \
+        --output_dir outputs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", default="sg2im-models/vg128.pt")
+    parser.add_argument("--scene_graphs_json",
+                        default="scene_graphs/figure_6_sheep.json")
+    parser.add_argument("--output_dir", default="outputs")
+    parser.add_argument("--draw_scene_graphs", type=int, default=0)
+    # Layout-noise control (the reference samples torch.randn in forward,
+    # sg2im/model.py:164-169, unseeded — so its outputs are run-to-run
+    # nondeterministic.  We expose explicit control instead.)
+    parser.add_argument("--noise", default="random",
+                        choices=["random", "zeros"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--layout_noise_npy", default=None,
+                        help="Optional .npy (N, H, W, D) noise tensor for "
+                             "bit-reproducible comparisons.")
+    return parser
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    if not os.path.isfile(args.checkpoint):
+        print(f'ERROR: Checkpoint file "{args.checkpoint}" not found')
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from sg2im_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine.from_torch_checkpoint(args.checkpoint)
+
+    with open(args.scene_graphs_json) as f:
+        scene_graphs = json.load(f)
+    if isinstance(scene_graphs, dict):
+        scene_graphs = [scene_graphs]
+
+    noise = args.noise if args.noise == "zeros" else None
+    if args.layout_noise_npy:
+        noise = np.load(args.layout_noise_npy)
+    imgs, _ = engine.generate(scene_graphs, noise=noise, seed=args.seed)
+
+    from PIL import Image
+
+    for i in range(len(scene_graphs)):
+        path = os.path.join(args.output_dir, "img%06d.png" % i)
+        Image.fromarray(imgs[i]).save(path)
+    print(f"Wrote {len(scene_graphs)} images to {args.output_dir}")
+
+    if args.draw_scene_graphs == 1:
+        from sg2im_tpu.utils.vis import draw_scene_graph, have_graphviz
+
+        if not have_graphviz():
+            print("WARNING: graphviz 'dot' not found; skipping scene graphs")
+        else:
+            for i, sg in enumerate(scene_graphs):
+                sg_img = draw_scene_graph(sg["objects"], sg["relationships"])
+                path = os.path.join(args.output_dir, "sg%06d.png" % i)
+                Image.fromarray(sg_img).save(path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,114 @@
+"""Inference engine: JSON scene graphs -> images, one jitted XLA program.
+
+Replaces the reference inference path (``scripts/run_model.py:35-82`` +
+``Sg2ImModel.forward_json``, ``sg2im/model.py:229-232``).  Graphs are padded
+to bucketed static shapes so repeated calls with different graph counts hit
+the compile cache; the whole forward (embeddings -> GCN -> layout kernels ->
+CRN) is a single ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sg2im_tpu.data.batching import GraphBatch, round_up
+from sg2im_tpu.data.scene_graphs import encode_scene_graphs
+from sg2im_tpu.data.transforms import imagenet_deprocess_batch
+from sg2im_tpu.models import Sg2ImGenerator
+
+
+class InferenceEngine:
+    """Holds a generator + converted variables and serves generation calls."""
+
+    def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8):
+        self.vocab = vocab
+        self.model_kwargs = dict(model_kwargs)
+        self.model = Sg2ImGenerator(vocab=vocab, **self.model_kwargs)
+        self.variables = jax.tree.map(jnp.asarray, variables)
+        self.pad_align = pad_align
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kw) -> "InferenceEngine":
+        """Load a reference ``.pt`` checkpoint (full or stripped layouts)."""
+        from sg2im_tpu.ckpt.torch_convert import convert_checkpoint
+
+        bundle = convert_checkpoint(path)
+        return cls(bundle["vocab"], bundle["model_kwargs"],
+                   bundle["generator"], **kw)
+
+    @classmethod
+    def from_bundle(cls, bundle, **kw) -> "InferenceEngine":
+        return cls(bundle["vocab"], bundle["model_kwargs"],
+                   bundle["generator"], **kw)
+
+    # -- compiled forward --------------------------------------------------
+
+    @functools.cached_property
+    def _fwd(self):
+        """One jitted forward; jax.jit caches compilations per input shape."""
+
+        def fwd(variables, objs, triples, obj_mask, triple_mask, noise):
+            return self.model.apply(
+                variables, objs, triples, obj_mask, triple_mask,
+                train=False, layout_noise=noise,
+            )
+
+        return jax.jit(fwd)
+
+    def generate_batch(self, batch: GraphBatch, noise=None, seed: int = 0):
+        """Run the generator on an encoded GraphBatch.
+
+        Args:
+          noise: None -> sample from jax PRNG(seed) if the model uses layout
+            noise; 'zeros' -> zero noise; or an (N, H, W, D) array for
+            bit-reproducible comparisons.
+
+        Returns:
+          dict with imgs (N, H, W, 3) float (preprocessed space), boxes
+          (N, O, 4), masks (N, O, M, M) | None, rel_scores.
+        """
+        N, O = batch.objs.shape
+        T = batch.triples.shape[1]
+        noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
+        H, W = self.model_kwargs.get("image_size", (64, 64))
+        noise_arr = None
+        if noise_dim > 0:
+            if noise is None:
+                noise_arr = jax.random.normal(
+                    jax.random.PRNGKey(seed), (N, H, W, noise_dim),
+                    dtype=jnp.float32)
+            elif isinstance(noise, str) and noise == "zeros":
+                noise_arr = jnp.zeros((N, H, W, noise_dim), jnp.float32)
+            else:
+                noise_arr = jnp.asarray(noise, jnp.float32)
+
+        imgs, boxes, masks, rel_scores = self._fwd(
+            self.variables,
+            jnp.asarray(batch.objs), jnp.asarray(batch.triples),
+            jnp.asarray(batch.obj_mask), jnp.asarray(batch.triple_mask),
+            noise_arr,
+        )
+        return {"imgs": imgs, "boxes": boxes, "masks": masks,
+                "rel_scores": rel_scores}
+
+    def generate(self, scene_graphs, noise=None, seed: int = 0,
+                 deprocess: bool = True):
+        """JSON scene graph(s) -> images (uint8 NHWC if deprocess).
+
+        Mirrors reference ``forward_json`` + ``imagenet_deprocess_batch``
+        (``scripts/run_model.py:67-69``).
+        """
+        batch = encode_scene_graphs(scene_graphs, self.vocab,
+                                    align=self.pad_align)
+        out = self.generate_batch(batch, noise=noise, seed=seed)
+        imgs = np.asarray(out["imgs"])
+        if deprocess:
+            imgs = imagenet_deprocess_batch(imgs)
+        return imgs, out

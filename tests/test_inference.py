@@ -1,0 +1,141 @@
+"""End-to-end inference pipeline tests: .pt checkpoint -> engine -> PNGs,
+with PSNR fidelity vs the reference model run on the same inputs."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+sys.path.insert(0, "/root/reference")
+
+from sg2im_tpu.data.batching import padded_to_flat
+from sg2im_tpu.data.scene_graphs import encode_scene_graphs
+from sg2im_tpu.data.transforms import imagenet_deprocess_batch
+from sg2im_tpu.inference import InferenceEngine
+from sg2im_tpu.utils.metrics import psnr
+
+VOCAB = {
+    "object_idx_to_name": ["__image__", "sheep", "grass", "sky", "tree"],
+    "object_name_to_idx": {"__image__": 0, "sheep": 1, "grass": 2,
+                           "sky": 3, "tree": 4},
+    "pred_idx_to_name": ["__in_image__", "by", "above", "standing on"],
+    "pred_name_to_idx": {"__in_image__": 0, "by": 1, "above": 2,
+                         "standing on": 3},
+}
+
+SCENE_GRAPHS = [
+    {"objects": ["sheep", "grass", "sky"],
+     "relationships": [[0, "standing on", 1], [2, "above", 0]]},
+    {"objects": ["sheep", "sheep", "grass", "tree"],
+     "relationships": [[0, "by", 1], [0, "standing on", 2],
+                       [3, "above", 2]]},
+]
+
+MODEL_KWARGS = dict(
+    image_size=(32, 32),
+    embedding_dim=16,
+    gconv_dim=24,
+    gconv_hidden_dim=32,
+    gconv_num_layers=2,
+    refinement_dims=(16, 8),
+    normalization="batch",
+    activation="leakyrelu-0.2",
+    mask_size=4,
+    mlp_normalization="none",
+    layout_noise_dim=6,
+)
+
+
+@pytest.fixture()
+def torch04_semantics(monkeypatch):
+    orig = F.grid_sample
+
+    def gs(input, grid, **kw):
+        kw.setdefault("align_corners", True)
+        return orig(input, grid, **kw)
+
+    monkeypatch.setattr(F, "grid_sample", gs)
+    # Zero the layout noise so reference and TPU paths are comparable.
+    monkeypatch.setattr(
+        torch, "randn",
+        lambda *shape, **kw: torch.zeros(
+            *shape, dtype=kw.get("dtype"), device=kw.get("device")),
+    )
+
+
+def _make_reference_checkpoint(tmp_path):
+    from sg2im.model import Sg2ImModel
+
+    torch.manual_seed(11)
+    model = Sg2ImModel(vocab=VOCAB, **MODEL_KWARGS)
+    model.eval()
+    ckpt = {
+        "model_state": model.state_dict(),
+        "model_kwargs": dict(MODEL_KWARGS, vocab=VOCAB,
+                             # exercise deprecated-kwarg tolerance
+                             vec_noise_dim=0),
+        "args": {"dataset": "vg"},
+    }
+    # DataParallel-prefix tolerance: save with 'module.' prefixes.
+    ckpt["model_state"] = {f"module.{k}": v
+                           for k, v in ckpt["model_state"].items()}
+    path = os.path.join(tmp_path, "tiny_vg.pt")
+    torch.save(ckpt, path)
+    return model, path
+
+
+def test_encode_scene_graphs_matches_reference(torch04_semantics):
+    from sg2im.model import Sg2ImModel
+
+    torch.manual_seed(1)
+    model = Sg2ImModel(vocab=VOCAB, **MODEL_KWARGS)
+    sgs_ref = json.loads(json.dumps(SCENE_GRAPHS))  # deep copy (ref mutates)
+    objs_ref, triples_ref, o2i_ref = model.encode_scene_graphs(sgs_ref)
+
+    batch = encode_scene_graphs(SCENE_GRAPHS, VOCAB)
+    objs, triples, o2i = padded_to_flat(batch)
+    np.testing.assert_array_equal(objs, objs_ref.numpy())
+    np.testing.assert_array_equal(triples, triples_ref.numpy())
+    np.testing.assert_array_equal(o2i, o2i_ref.numpy())
+
+
+def test_engine_psnr_vs_reference(tmp_path, torch04_semantics):
+    ref_model, ckpt_path = _make_reference_checkpoint(tmp_path)
+
+    sgs_ref = json.loads(json.dumps(SCENE_GRAPHS))
+    with torch.no_grad():
+        ref_imgs, *_ = ref_model.forward_json(sgs_ref)
+    ref_imgs = ref_imgs.permute(0, 2, 3, 1).numpy()
+    ref_u8 = imagenet_deprocess_batch(ref_imgs)
+
+    engine = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    got_u8, out = engine.generate(SCENE_GRAPHS, noise="zeros")
+
+    raw_psnr = psnr(np.asarray(out["imgs"]), ref_imgs, max_val=1.0)
+    assert raw_psnr > 40, f"raw-space PSNR too low: {raw_psnr:.1f} dB"
+    u8_psnr = psnr(got_u8, ref_u8)
+    assert u8_psnr > 40, f"uint8 PSNR too low: {u8_psnr:.1f} dB"
+
+
+def test_run_model_cli(tmp_path, torch04_semantics):
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    sg_path = os.path.join(tmp_path, "sg.json")
+    with open(sg_path, "w") as f:
+        json.dump(SCENE_GRAPHS, f)
+    out_dir = os.path.join(tmp_path, "out")
+
+    from sg2im_tpu.cli.run_model import main
+
+    rc = main(["--checkpoint", ckpt_path, "--scene_graphs_json", sg_path,
+               "--output_dir", out_dir, "--noise", "zeros"])
+    assert rc == 0
+    pngs = sorted(os.listdir(out_dir))
+    assert pngs == ["img000000.png", "img000001.png"]
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(out_dir, "img000000.png")))
+    assert img.shape == (32, 32, 3)
