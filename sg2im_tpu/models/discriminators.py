@@ -68,8 +68,9 @@ class AcDiscriminator(nn.Module):
     pooling: str = "avg"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        """x: (B, h, w, C) crops. Returns (real_scores (B, 1),
+    def __call__(self, x, train: bool = False, sample_mask=None):
+        """x: (B, h, w, C) crops; sample_mask (B,) excludes padded crops
+        from train-mode BN statistics. Returns (real_scores (B, 1),
         obj_logits (B, num_objects))."""
         _, cnn_dim = parse_arch(self.arch, self.normalization,
                                 self.activation, self.padding, self.pooling)
@@ -80,7 +81,7 @@ class AcDiscriminator(nn.Module):
             padding=self.padding,
             pooling=self.pooling,
             name="cnn_0",
-        )(x, train=train)
+        )(x, train=train, sample_mask=sample_mask)
         vecs = global_avg_pool(feats)
         vecs = nn.Dense(
             1024,
@@ -116,10 +117,11 @@ class AcCropDiscriminator(nn.Module):
     pooling: str = "avg"
 
     @nn.compact
-    def __call__(self, imgs, boxes, train: bool = False):
+    def __call__(self, imgs, boxes, obj_mask=None, train: bool = False):
         """
         Args:
-          imgs: (N, H, W, 3); boxes: (N, O, 4) padded per-image boxes.
+          imgs: (N, H, W, 3); boxes: (N, O, 4) padded per-image boxes;
+          obj_mask: (N, O) validity (padded crops excluded from BN stats).
 
         Returns:
           (real_scores (N, O, 1), obj_logits (N, O, num_objects)).
@@ -128,6 +130,7 @@ class AcCropDiscriminator(nn.Module):
         N, O = boxes.shape[:2]
         crops = crop_bbox_padded(imgs, boxes, self.object_size)
         crops = crops.reshape((N * O,) + crops.shape[2:])
+        flat_mask = None if obj_mask is None else obj_mask.reshape(N * O)
         real_scores, obj_logits = AcDiscriminator(
             vocab=self.vocab,
             arch=self.arch,
@@ -136,6 +139,6 @@ class AcCropDiscriminator(nn.Module):
             padding=self.padding,
             pooling=self.pooling,
             name="discriminator",
-        )(crops, train=train)
+        )(crops, train=train, sample_mask=flat_mask)
         return (real_scores.reshape(N, O, -1),
                 obj_logits.reshape(N, O, -1))

@@ -49,12 +49,14 @@ class MaskNet(nn.Module):
     mask_size: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (B, 1, 1, dim) NHWC
+    def __call__(self, x, train: bool = False, sample_mask=None):
+        # x: (B, 1, 1, dim) NHWC; sample_mask (B,) keeps padded object slots
+        # out of train-mode BN statistics (ragged-batch parity).
         cur, idx = 1, 0
         while cur < self.mask_size:
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            x = BatchNorm(self.dim, name=f"layer{idx + 1}")(x, train=train)
+            x = BatchNorm(self.dim, name=f"layer{idx + 1}")(
+                x, train=train, mask=sample_mask)
             x = nn.Conv(
                 self.dim, (3, 3), padding=[(1, 1), (1, 1)],
                 kernel_init=torch_linear_kernel_init(),
@@ -172,9 +174,11 @@ class Sg2ImGenerator(nn.Module):
         if self.mask_size is not None and self.mask_size > 0:
             N, O = objs.shape
             mask_in = obj_vecs.reshape(N * O, 1, 1, self.gconv_dim)
+            flat_mask = (None if obj_mask is None
+                         else obj_mask.reshape(N * O))
             mask_scores = MaskNet(
                 self.gconv_dim, self.mask_size, name="mask_net"
-            )(mask_in, train=train)
+            )(mask_in, train=train, sample_mask=flat_mask)
             masks_pred = jax.nn.sigmoid(
                 mask_scores.reshape(N, O, self.mask_size, self.mask_size)
             )

@@ -91,27 +91,69 @@ def instance_norm_2d(x, eps: float = 1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm matching torch BatchNorm1d/2d defaults (eps 1e-5,
-    momentum 0.1 → flax momentum 0.9, affine, running stats)."""
+class _BNCore(nn.Module):
+    """Custom BatchNorm matching torch BatchNorm1d/2d semantics exactly:
+    eps 1e-5, momentum 0.1 (``running = 0.9*running + 0.1*batch``), biased
+    variance for normalization, *unbiased* variance for the running update,
+    affine params, running stats in the ``batch_stats`` collection.
+
+    ``mask`` (optional, shape = leading batch axis) weights per-sample
+    contributions to the batch statistics.  This is how padded graph batches
+    reproduce the reference's ragged-batch statistics: padded mask-net /
+    object-crop rows carry weight 0 and never pollute the stats.
+    """
 
     features: int
-    axis_name: str | None = None
+    momentum: float = 0.1
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
-        # ``mask`` reserved for masked stats over padded batches; with the
-        # default mlp_normalization='none' configs it is unused.
-        norm = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.axis_name,
-            use_bias=True,
-            use_scale=True,
-            name="bn",
-        )
-        return norm(x)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                mean = x.mean(axis=axes)
+                var = ((x - mean) ** 2).mean(axis=axes)
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                n = jnp.asarray(float(n), x.dtype)
+            else:
+                w = mask.astype(x.dtype).reshape(
+                    mask.shape + (1,) * (x.ndim - mask.ndim))
+                spatial = 1
+                for a in range(mask.ndim, x.ndim - 1):
+                    spatial *= x.shape[a]
+                n = jnp.maximum(mask.astype(x.dtype).sum() * spatial, 1.0)
+                mean = (x * w).sum(axis=axes) / n
+                var = (((x - mean) ** 2) * w).sum(axis=axes) / n
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class BatchNorm(nn.Module):
+    """Wrapper keeping the converter-visible tree path ``<name>/bn/...``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        return _BNCore(self.features, name="bn")(x, train=train, mask=mask)
 
 
 def global_avg_pool(x):
@@ -365,7 +407,7 @@ class ArchCNN(nn.Module):
     init: str = "default"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         act = parse_activation(self.activation)
         specs, _ = parse_arch(self.arch, self.normalization, self.activation,
                               self.padding, self.pooling)
@@ -386,7 +428,8 @@ class ArchCNN(nn.Module):
                 )(x)
             elif spec.kind == "norm":
                 if spec.norm_kind == "batch":
-                    x = BatchNorm(spec.out_ch, name=name)(x, train=train)
+                    x = BatchNorm(spec.out_ch, name=name)(
+                        x, train=train, mask=sample_mask)
                 elif spec.norm_kind == "instance":
                     x = instance_norm_2d(x)
                 else:

@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers — first-class data parallelism.
+
+The reference is single-device (SURVEY.md §2.6: no torch.distributed
+anywhere; only a historic DataParallel trace).  Here scale-out is native:
+a ``jax.sharding.Mesh`` with a ``('data', 'model')`` axis pair; batches are
+sharded over 'data', parameters replicated (sg2im models are <60M params —
+the 'model' axis exists so tensor-parallel shardings can be added without
+re-plumbing, but stays size 1 by default).  Gradient all-reduce is inserted
+by XLA/GSPMD from the sharding annotations and rides ICI.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+give each host its own data shard (see ``sg2im_tpu.train.trainer``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = devices[: n_data * n_model]
+    arr = np.array(use).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict onto the mesh, batch-axis sharded."""
+    sh = batch_sharding(mesh)
+    return {
+        k: (jax.device_put(v, sh) if v is not None else None)
+        for k, v in batch.items()
+    }
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a train state (or any pytree) across the mesh."""
+    sh = replicated(mesh)
+    return jax.device_put(state, sh)

@@ -1,0 +1,263 @@
+"""The jitted GAN train step — generator + both discriminators + three Adam
+updates in ONE XLA program.
+
+Faithful to reference ``scripts/train.py:502-592`` per-iteration semantics:
+
+- G forward with GT boxes/masks (``train.py:524-528``), losses from
+  ``calculate_model_losses`` (``train.py:387-412``) plus adversarial terms.
+- D modules stay in *train* mode throughout (only the generator flips to
+  eval at ``eval_mode_after``, ``train.py:509-512``): their BatchNorm batch
+  stats update on every forward — G-loss pass, D fake pass, D real pass, in
+  that order — and we chain the mutated stats identically.
+- D_obj loss = gan_d(real, fake) + ac_real + ac_fake at weight 1
+  (``train.py:566-579``); D_img loss = gan_d(real, fake)
+  (``train.py:581-592``); fakes are stop_gradient'ed (torch ``.detach()``).
+- NaN guard: if the G total loss is non-finite, the reference ``continue``s
+  — skipping G *and* D updates but still counting the iteration
+  (``train.py:552-555``); here a ``tree_where`` keeps the old state.
+- Losses over padded batches use validity masks so means equal the
+  reference's ragged-batch means.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sg2im_tpu import losses as L
+from sg2im_tpu.train.state import TrainState, tree_where
+
+
+def _split_vars(variables):
+    col = {k: v for k, v in variables.items() if k != "params"}
+    return variables["params"], col
+
+
+def _merge_vars(params, col):
+    return {"params": params, **col}
+
+
+def make_optimizers(config):
+    """Three independent Adam optimizers (reference ``train.py:426-444``;
+    torch Adam defaults: betas (0.9, 0.999), eps 1e-8)."""
+    mk = lambda: optax.adam(config.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    return {"g": mk(), "d_obj": mk(), "d_img": mk()}
+
+
+def make_train_step(generator, d_obj, d_img, config, optimizers=None,
+                    axis_name: str | None = None):
+    """Build the jitted train step.
+
+    Args:
+      generator / d_obj / d_img: flax modules (discriminators may be None).
+      config: TrainConfig.
+      optimizers: dict from make_optimizers (created if None).
+
+    Returns:
+      train_step(state, batch, eval_mode: static bool) -> (state, metrics).
+      ``batch`` is a dict of arrays: imgs (N,H,W,3), objs (N,O),
+      boxes (N,O,4), masks (N,O,M,M)|None, triples (N,T,3), obj_mask (N,O),
+      triple_mask (N,T).
+    """
+    opts = optimizers or make_optimizers(config)
+    g_loss_fns = L.get_gan_losses(config.gan_loss_type)
+    gan_g_loss, gan_d_loss = g_loss_fns
+
+    def generator_losses(g_params, g_col, d_obj_vars, d_img_vars, batch,
+                         noise, eval_mode: bool):
+        train_flag = not eval_mode
+        mutable = ["batch_stats"] if (train_flag and "batch_stats" in g_col) else []
+        out = generator.apply(
+            _merge_vars(g_params, g_col),
+            batch["objs"], batch["triples"],
+            batch["obj_mask"], batch["triple_mask"],
+            boxes_gt=batch["boxes"], masks_gt=batch.get("masks"),
+            train=train_flag, layout_noise=noise,
+            mutable=mutable if mutable else False,
+        )
+        if mutable:
+            (imgs_pred, boxes_pred, masks_pred, rel_scores), g_col_new = out
+            g_col = {**g_col, **g_col_new}
+        else:
+            imgs_pred, boxes_pred, masks_pred, rel_scores = out
+
+        losses = {}
+        total = 0.0
+        # L1 pixel loss (train.py:393-395); skip_pixel_loss is False in the
+        # reference loop since GT boxes are always passed (train.py:524-531).
+        l1 = L.l1_loss(imgs_pred, batch["imgs"])
+        losses["L1_pixel_loss"] = l1 * config.l1_pixel_loss_weight
+        total += losses["L1_pixel_loss"]
+        # bbox MSE over real objects (train.py:397).
+        bbox = L.mse_loss(boxes_pred, batch["boxes"], batch["obj_mask"])
+        losses["bbox_pred"] = bbox * config.bbox_pred_loss_weight
+        total += losses["bbox_pred"]
+        if config.predicate_pred_loss_weight > 0:
+            pred_ce = L.cross_entropy(rel_scores, batch["triples"][..., 1],
+                                      batch["triple_mask"])
+            losses["predicate_pred"] = (pred_ce
+                                        * config.predicate_pred_loss_weight)
+            total += losses["predicate_pred"]
+        if (config.mask_loss_weight > 0 and batch.get("masks") is not None
+                and masks_pred is not None):
+            mask_bce = L.binary_cross_entropy(
+                masks_pred, batch["masks"], batch["obj_mask"])
+            losses["mask_loss"] = mask_bce * config.mask_loss_weight
+            total += losses["mask_loss"]
+
+        d_obj_col_new = None
+        d_img_col_new = None
+        if d_obj is not None:
+            p, col = _split_vars(d_obj_vars)
+            dm = ["batch_stats"] if "batch_stats" in col else []
+            res = d_obj.apply(_merge_vars(p, col), imgs_pred, batch["boxes"],
+                              obj_mask=batch["obj_mask"], train=True,
+                              mutable=dm if dm else False)
+            if dm:
+                (scores_fake, obj_logits), d_obj_col_new = res
+            else:
+                scores_fake, obj_logits = res
+            ac_loss = L.cross_entropy(obj_logits, batch["objs"],
+                                      batch["obj_mask"])
+            losses["ac_loss"] = ac_loss * config.ac_loss_weight
+            total += losses["ac_loss"]
+            w = config.discriminator_loss_weight * config.d_obj_weight
+            losses["g_gan_obj_loss"] = (
+                gan_g_loss(scores_fake, batch["obj_mask"]) * w)
+            total += losses["g_gan_obj_loss"]
+        if d_img is not None:
+            p, col = _split_vars(d_img_vars)
+            dm = ["batch_stats"] if "batch_stats" in col else []
+            res = d_img.apply(_merge_vars(p, col), imgs_pred, train=True,
+                              mutable=dm if dm else False)
+            if dm:
+                scores_fake_img, d_img_col_new = res
+            else:
+                scores_fake_img = res
+            w = config.discriminator_loss_weight * config.d_img_weight
+            losses["g_gan_img_loss"] = gan_g_loss(scores_fake_img) * w
+            total += losses["g_gan_img_loss"]
+
+        losses["total_loss"] = total
+        aux = dict(losses=losses, g_col=g_col, imgs_pred=imgs_pred,
+                   d_obj_col_new=d_obj_col_new, d_img_col_new=d_img_col_new)
+        return total, aux
+
+    def d_obj_losses_fn(d_params, d_col, imgs_fake, imgs_real, batch):
+        """Fake pass then real pass, chaining BN stats (train.py:566-571)."""
+        dm = ["batch_stats"] if "batch_stats" in d_col else []
+
+        def run(col, imgs):
+            res = d_obj.apply(_merge_vars(d_params, col), imgs,
+                              batch["boxes"], obj_mask=batch["obj_mask"],
+                              train=True, mutable=dm if dm else False)
+            if dm:
+                (scores, logits), new_col = res
+                return scores, logits, {**col, **new_col}
+            scores, logits = res
+            return scores, logits, col
+
+        scores_fake, logits_fake, d_col = run(d_col, imgs_fake)
+        scores_real, logits_real, d_col = run(d_col, imgs_real)
+        om = batch["obj_mask"]
+        gan = gan_d_loss(scores_real, scores_fake, om)
+        ac_real = L.cross_entropy(logits_real, batch["objs"], om)
+        ac_fake = L.cross_entropy(logits_fake, batch["objs"], om)
+        total = gan + ac_real + ac_fake
+        losses = {"d_obj_gan_loss": gan, "d_ac_loss_real": ac_real,
+                  "d_ac_loss_fake": ac_fake}
+        return total, (losses, d_col)
+
+    def d_img_losses_fn(d_params, d_col, imgs_fake, imgs_real):
+        dm = ["batch_stats"] if "batch_stats" in d_col else []
+
+        def run(col, imgs):
+            res = d_img.apply(_merge_vars(d_params, col), imgs, train=True,
+                              mutable=dm if dm else False)
+            if dm:
+                scores, new_col = res
+                return scores, {**col, **new_col}
+            return res, col
+
+        scores_fake, d_col = run(d_col, imgs_fake)
+        scores_real, d_col = run(d_col, imgs_real)
+        gan = gan_d_loss(scores_real, scores_fake)
+        return gan, ({"d_img_gan_loss": gan}, d_col)
+
+    @functools.partial(jax.jit, static_argnames=("eval_mode",),
+                       donate_argnums=(0,))
+    def train_step(state: TrainState, batch, eval_mode: bool = False):
+        rng, noise_rng = jax.random.split(state.rng)
+        H, W = config.image_size
+        N = batch["imgs"].shape[0]
+        noise = None
+        if config.layout_noise_dim > 0:
+            noise = jax.random.normal(
+                noise_rng, (N, H, W, config.layout_noise_dim),
+                dtype=batch["imgs"].dtype)
+
+        g_params, g_col = _split_vars(state.g_vars)
+        (total, aux), g_grads = jax.value_and_grad(
+            generator_losses, has_aux=True)(
+                g_params, g_col, state.d_obj_vars, state.d_img_vars,
+                batch, noise, eval_mode)
+        metrics = dict(aux["losses"])
+
+        good = jnp.isfinite(total)
+
+        updates, g_opt_new = opts["g"].update(g_grads, state.g_opt, g_params)
+        g_params_new = optax.apply_updates(g_params, updates)
+        imgs_fake = jax.lax.stop_gradient(aux["imgs_pred"])
+
+        new_fields = dict(
+            step=state.step + 1,
+            rng=rng,
+            g_vars=_merge_vars(g_params_new, aux["g_col"]),
+            g_opt=g_opt_new,
+        )
+
+        if d_obj is not None:
+            d_params, d_col = _split_vars(state.d_obj_vars)
+            if aux["d_obj_col_new"]:
+                d_col = {**d_col, **aux["d_obj_col_new"]}
+            (d_total, (d_losses, d_col)), d_grads = jax.value_and_grad(
+                d_obj_losses_fn, has_aux=True)(
+                    d_params, d_col, imgs_fake, batch["imgs"], batch)
+            du, d_opt_new = opts["d_obj"].update(d_grads, state.d_obj_opt,
+                                                 d_params)
+            d_params_new = optax.apply_updates(d_params, du)
+            new_fields["d_obj_vars"] = _merge_vars(d_params_new, d_col)
+            new_fields["d_obj_opt"] = d_opt_new
+            metrics.update(d_losses)
+            metrics["d_obj_total"] = d_total
+        if d_img is not None:
+            d_params, d_col = _split_vars(state.d_img_vars)
+            if aux["d_img_col_new"]:
+                d_col = {**d_col, **aux["d_img_col_new"]}
+            (d_total, (d_losses, d_col)), d_grads = jax.value_and_grad(
+                d_img_losses_fn, has_aux=True)(
+                    d_params, d_col, imgs_fake, batch["imgs"])
+            du, d_opt_new = opts["d_img"].update(d_grads, state.d_img_opt,
+                                                 d_params)
+            d_params_new = optax.apply_updates(d_params, du)
+            new_fields["d_img_vars"] = _merge_vars(d_params_new, d_col)
+            new_fields["d_img_opt"] = d_opt_new
+            metrics.update(d_losses)
+            metrics["d_img_total"] = d_total
+
+        new_state = state.replace(**new_fields)
+        # NaN guard (train.py:552-555): keep old learnable state, but always
+        # advance step and rng.
+        guarded = tree_where(
+            good,
+            new_state.replace(step=state.step, rng=state.rng),
+            state,
+        ).replace(step=state.step + 1, rng=rng)
+        metrics["skipped_nonfinite"] = jnp.logical_not(good)
+        return guarded, metrics
+
+    return train_step

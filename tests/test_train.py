@@ -1,0 +1,236 @@
+"""Training-stack tests: loss-assembly parity vs the reference, smoke
+training (loss decreases), NaN guard, checkpoint round-trip, and the
+eval-mode regime switch."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+
+from sg2im_tpu.ckpt.torch_convert import (
+    convert_ac_discriminator_state,
+    convert_generator_state,
+    convert_patch_discriminator_state,
+)
+from sg2im_tpu.train.config import TrainConfig
+from sg2im_tpu.train.trainer import Trainer
+
+VOCAB = {
+    "object_idx_to_name": ["__image__", "cat", "dog", "sky"],
+    "object_name_to_idx": {"__image__": 0, "cat": 1, "dog": 2, "sky": 3},
+    "pred_idx_to_name": ["__in_image__", "left of", "above"],
+    "pred_name_to_idx": {"__in_image__": 0, "left of": 1, "above": 2},
+}
+
+TINY = dict(
+    dataset="coco",
+    batch_size=2,
+    image_size=(16, 16),
+    embedding_dim=8,
+    gconv_dim=12,
+    gconv_hidden_dim=16,
+    gconv_num_layers=2,
+    refinement_network_dims=(12, 8),
+    mask_size=4,
+    layout_noise_dim=0,
+    crop_size=8,
+    d_obj_arch="C3-8-2",
+    d_img_arch="C3-8-2",
+    pad_objects_to=5,
+    pad_triples_to=8,
+    mask_loss_weight=0.1,  # exercise the mask loss path
+)
+
+
+def _rand_batch(rng, config, with_masks=True):
+    N = config.batch_size
+    H, W = config.image_size
+    O, T = config.pad_objects_to, config.pad_triples_to
+    lo = rng.uniform(0, 0.5, (N, O, 2)).astype(np.float32)
+    sz = rng.uniform(0.2, 0.5, (N, O, 2)).astype(np.float32)
+    batch = {
+        "imgs": rng.randn(N, H, W, 3).astype(np.float32) * 0.3,
+        "objs": rng.randint(1, 4, (N, O)).astype(np.int32),
+        "boxes": np.concatenate([lo, lo + sz], -1),
+        "triples": np.stack(
+            [rng.randint(0, 3, (N, T)), rng.randint(0, 3, (N, T)),
+             rng.randint(0, 3, (N, T))], -1).astype(np.int32),
+        "obj_mask": (rng.rand(N, O) < 0.7).astype(np.float32),
+        "triple_mask": (rng.rand(N, T) < 0.7).astype(np.float32),
+    }
+    batch["obj_mask"][:, :3] = 1.0  # at least 3 real objects
+    batch["triple_mask"][:, :2] = 1.0
+    if with_masks:
+        M = config.mask_size
+        batch["masks"] = (rng.rand(N, O, M, M) > 0.5).astype(np.float32)
+    return batch
+
+
+def test_train_smoke_and_determinism(tmp_path):
+    config = TrainConfig(**TINY)
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    rng = np.random.RandomState(0)
+    batch = _rand_batch(rng, config)
+
+    first_l1 = None
+    for i in range(8):
+        state, metrics = trainer.step(state, dict(batch))
+        assert np.isfinite(float(metrics["total_loss"])), metrics
+        if first_l1 is None:
+            first_l1 = float(metrics["L1_pixel_loss"])
+    # Overfitting a single tiny batch must reduce reconstruction loss.
+    assert float(metrics["L1_pixel_loss"]) < first_l1
+    assert int(state.step) == 8
+
+    # Checkpoint round-trip.
+    path = os.path.join(tmp_path, "ckpt")
+    trainer.save_checkpoint(state, path)
+    trainer2 = Trainer(config, VOCAB)
+    restored, meta = trainer2.load_checkpoint(path)
+    assert int(restored.step) == 8
+    for a, b in zip(jax.tree.leaves(restored.g_vars),
+                    jax.tree.leaves(state.g_vars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Resumed training continues identically to uninterrupted training.
+    s_cont, m_cont = trainer.step(state, dict(batch))
+    s_res, m_res = trainer2.step(restored, dict(batch))
+    np.testing.assert_allclose(float(m_cont["total_loss"]),
+                               float(m_res["total_loss"]), rtol=1e-6)
+
+
+def test_nan_guard_skips_update():
+    config = TrainConfig(**TINY)
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    rng = np.random.RandomState(1)
+    batch = _rand_batch(rng, config)
+    bad = dict(batch)
+    bad["imgs"] = batch["imgs"] + np.nan
+
+    params_before = jax.tree.map(np.asarray, state.g_vars["params"])
+    state2, metrics = trainer.step(state, bad)
+    assert bool(metrics["skipped_nonfinite"])
+    assert int(state2.step) == 1  # t still advances (train.py:513)
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(state2.g_vars["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_mode_switch_freezes_bn():
+    config = TrainConfig(**dict(TINY, eval_mode_after=2))
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    rng = np.random.RandomState(2)
+    batch = _rand_batch(rng, config)
+
+    state, _ = trainer.step(state, dict(batch))
+    state, _ = trainer.step(state, dict(batch))
+    state = trainer.reset_g_optimizer(state)
+    stats_before = jax.tree.map(np.asarray, state.g_vars["batch_stats"])
+    state, _ = trainer.step(state, dict(batch))  # now in eval mode
+    for a, b in zip(jax.tree.leaves(stats_before),
+                    jax.tree.leaves(state.g_vars["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture()
+def torch04(monkeypatch):
+    orig = F.grid_sample
+
+    def gs(input, grid, **kw):
+        kw.setdefault("align_corners", True)
+        return orig(input, grid, **kw)
+
+    monkeypatch.setattr(F, "grid_sample", gs)
+
+
+def test_generator_loss_parity_vs_reference(torch04):
+    """First-step G total loss (all 7 terms) must equal the reference's
+    assembly (train.py:524-550) on identical weights + inputs."""
+    from sg2im.discriminators import AcCropDiscriminator as RefAcD
+    from sg2im.discriminators import PatchDiscriminator as RefPatchD
+    from sg2im.losses import gan_g_loss as ref_gan_g_loss
+    from sg2im.model import Sg2ImModel
+
+    config = TrainConfig(**dict(TINY, mask_loss_weight=0.0))
+    torch.manual_seed(5)
+    ref_g = Sg2ImModel(vocab=VOCAB, **config.generator_kwargs())
+    ref_g.eval()  # BN via running stats on both sides for comparability
+    ref_do = RefAcD(vocab=VOCAB, **config.d_obj_kwargs())
+    ref_di = RefPatchD(**config.d_img_kwargs())
+    ref_do.eval()
+    ref_di.eval()
+
+    rng = np.random.RandomState(3)
+    batch = _rand_batch(rng, config, with_masks=True)
+    # Flatten to the reference's ragged layout.
+    om = batch["obj_mask"].astype(bool)
+    tm = batch["triple_mask"].astype(bool)
+    objs_f, boxes_f, o2i, triples_f, masks_f = [], [], [], [], []
+    offs, off = [], 0
+    for n in range(config.batch_size):
+        idx = np.where(om[n])[0]
+        remap = {int(i): off + j for j, i in enumerate(idx)}
+        objs_f += [batch["objs"][n][i] for i in idx]
+        boxes_f += [batch["boxes"][n][i] for i in idx]
+        masks_f += [batch["masks"][n][i] for i in idx]
+        o2i += [n] * len(idx)
+        for t in range(batch["triples"].shape[1]):
+            if not tm[n, t]:
+                continue
+            s, p, o = batch["triples"][n, t]
+            # keep only triples whose endpoints are real objects
+            if int(s) in remap and int(o) in remap:
+                triples_f.append([remap[int(s)], p, remap[int(o)]])
+            else:
+                tm[n, t] = False
+        off += len(idx)
+    batch["triple_mask"] = tm.astype(np.float32)
+    objs_t = torch.tensor(objs_f, dtype=torch.int64)
+    boxes_t = torch.tensor(np.stack(boxes_f))
+    masks_t = torch.tensor(np.stack(masks_f))
+    triples_t = torch.tensor(np.array(triples_f))
+    o2i_t = torch.tensor(o2i)
+    imgs_t = torch.from_numpy(
+        batch["imgs"].transpose(0, 3, 1, 2)).contiguous()
+
+    with torch.no_grad():
+        imgs_pred, boxes_pred, masks_pred, rel_scores = ref_g(
+            objs_t, triples_t, o2i_t, boxes_gt=boxes_t, masks_gt=masks_t)
+        total_ref = (
+            F.l1_loss(imgs_pred, imgs_t) * config.l1_pixel_loss_weight
+            + F.mse_loss(boxes_pred, boxes_t) * config.bbox_pred_loss_weight
+        )
+        sf, ac = ref_do(imgs_pred, objs_t, boxes_t, o2i_t)
+        total_ref = total_ref + ac * config.ac_loss_weight
+        total_ref = total_ref + ref_gan_g_loss(sf) * (
+            config.discriminator_loss_weight * config.d_obj_weight)
+        sfi = ref_di(imgs_pred)
+        total_ref = total_ref + ref_gan_g_loss(sfi) * (
+            config.discriminator_loss_weight * config.d_img_weight)
+
+    # Build my trainer with converted weights, run one step in eval regime
+    # (so BN uses running stats on both sides), read total_loss metric.
+    config2 = TrainConfig(**dict(TINY, mask_loss_weight=0.0,
+                                 eval_mode_after=0))
+    trainer = Trainer(config2, VOCAB)
+    state = trainer.init_state(seed=0)
+    state = state.replace(
+        g_vars=convert_generator_state(ref_g.state_dict()),
+        d_obj_vars=convert_ac_discriminator_state(ref_do.state_dict()),
+        d_img_vars=convert_patch_discriminator_state(ref_di.state_dict()),
+    )
+    # Discriminators have no BN in TINY arch ('none'? default d_normalization
+    # is batch with C3-8-2 arch -> single conv, no norms since first conv).
+    state2, metrics = trainer.step(state, dict(batch))
+    np.testing.assert_allclose(float(metrics["total_loss"]),
+                               float(total_ref), rtol=2e-4, atol=2e-5)
