@@ -1,0 +1,109 @@
+"""Benchmark: flagship (vg128-scale) inference throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+``vs_baseline`` compares against the PyTorch-CPU reference throughput
+measured in this container (BASELINE_MEASURED.json; methodology inside).
+Driver target: >= 10x (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def flagship_setup(batch: int = 32):
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.models import Sg2ImGenerator
+
+    num_objs, num_preds = 179, 46
+    vocab = {
+        "object_idx_to_name": [f"o{i}" for i in range(num_objs)],
+        "pred_idx_to_name": [f"p{i}" for i in range(num_preds)],
+    }
+    model_kwargs = dict(
+        image_size=(128, 128), embedding_dim=128, gconv_dim=128,
+        gconv_hidden_dim=512, gconv_num_layers=5,
+        refinement_dims=(1024, 512, 256, 128, 64), normalization="batch",
+        activation="leakyrelu-0.2", mask_size=16, layout_noise_dim=32,
+    )
+    gen = Sg2ImGenerator(vocab=vocab, **model_kwargs)
+
+    N, O, T = batch, 16, 32
+    rng = np.random.RandomState(0)
+    objs = rng.randint(0, num_objs, (N, O)).astype(np.int32)
+    triples = np.stack([
+        rng.randint(0, 11, (N, T)), rng.randint(0, num_preds, (N, T)),
+        rng.randint(0, 11, (N, T))], -1).astype(np.int32)
+    obj_mask = np.zeros((N, O), np.float32)
+    obj_mask[:, :11] = 1.0
+    triple_mask = np.ones((N, T), np.float32)
+
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(objs[:1]), jnp.asarray(triples[:1]),
+        jnp.asarray(obj_mask[:1]), jnp.asarray(triple_mask[:1]), train=False,
+        layout_noise=jnp.zeros((1, 128, 128, 32), jnp.float32),
+    )
+
+    noise = jax.random.normal(jax.random.PRNGKey(2), (N, 128, 128, 32),
+                              dtype=jnp.float32)
+
+    def fwd(variables, objs, triples, obj_mask, triple_mask, noise):
+        return gen.apply(variables, objs, triples, obj_mask, triple_mask,
+                         train=False, layout_noise=noise)[0]
+
+    args = (variables, jnp.asarray(objs), jnp.asarray(triples),
+            jnp.asarray(obj_mask), jnp.asarray(triple_mask), noise)
+    return fwd, args
+
+
+def main():
+    import jax
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    fwd, args = flagship_setup(batch)
+    fwd_jit = jax.jit(fwd, donate_argnums=())
+
+    def sync(x):
+        # block_until_ready is unreliable through the axon tunnel; force a
+        # real device->host read of a scalar derived from the output.
+        return float(x.sum())
+
+    out = fwd_jit(*args)
+    sync(out)  # compile + warmup
+    out = fwd_jit(*args)
+    sync(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd_jit(*args)
+    sync(out)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+    baseline = 2.21
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f)["torch_cpu_images_per_sec_128"]
+
+    print(json.dumps({
+        "metric": "vg128_inference_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
