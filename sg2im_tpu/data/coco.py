@@ -1,0 +1,259 @@
+"""COCO-Stuff scene-graph dataset.
+
+Framework-free re-implementation of reference ``CocoSceneGraphDataset``
+(``sg2im/data/coco.py:32-373``): loads COCO instances+stuff JSON, filters
+objects/images identically (box area > min_object_size, category whitelists,
+'other' exclusion, 3<=objects<=8 — ``coco.py:133-195``), and synthesizes a
+random heuristic scene graph per ``__getitem__`` from box geometry
+(surrounding/inside/left of/right of/above/below by center angle,
+``coco.py:314-350``), appending the ``__image__`` node and ``__in_image__``
+edges (``coco.py:286-289,352-356``).
+
+Returns numpy arrays (NHWC images, already imagenet-preprocessed).  Batching
+into padded GraphBatches happens in ``sg2im_tpu.data.loader``.
+
+Deviations (host-side only, documented):
+- RLE decode / polygon rasterization via ``sg2im_tpu.data.rle`` instead of
+  the pycocotools C extension.
+- The 16x16 mask resize uses PIL bilinear instead of (unpinned-version)
+  ``skimage.transform.resize`` (reference ``coco.py:281-283``); masks are
+  thresholded at 128 either way.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+from collections import defaultdict
+
+import numpy as np
+
+from sg2im_tpu.data.rle import seg_to_mask
+from sg2im_tpu.data.transforms import imagenet_preprocess, resize_image
+
+COCO_PRED_NAMES = [
+    "__in_image__", "left of", "right of", "above", "below", "inside",
+    "surrounding",
+]
+
+
+class CocoSceneGraphDataset:
+    def __init__(self, image_dir, instances_json, stuff_json=None,
+                 stuff_only=True, image_size=(64, 64), mask_size=16,
+                 normalize_images=True, max_samples=None,
+                 include_relationships=True, min_object_size=0.02,
+                 min_objects_per_image=3, max_objects_per_image=8,
+                 include_other=False, instance_whitelist=None,
+                 stuff_whitelist=None, seed=None):
+        self.image_dir = image_dir
+        self.mask_size = mask_size
+        self.max_samples = max_samples
+        self.normalize_images = normalize_images
+        self.include_relationships = include_relationships
+        self.image_size = tuple(image_size)
+        self._rng = random.Random(seed) if seed is not None else random
+
+        with open(instances_json) as f:
+            instances_data = json.load(f)
+        stuff_data = None
+        if stuff_json:
+            with open(stuff_json) as f:
+                stuff_data = json.load(f)
+
+        self.image_ids = []
+        self.image_id_to_filename = {}
+        self.image_id_to_size = {}
+        for image_data in instances_data["images"]:
+            image_id = image_data["id"]
+            self.image_ids.append(image_id)
+            self.image_id_to_filename[image_id] = image_data["file_name"]
+            self.image_id_to_size[image_id] = (image_data["width"],
+                                               image_data["height"])
+
+        # Vocab from category ids (sparse ids; idx_to_name padded with
+        # 'NONE', reference coco.py:175-185).
+        self.vocab = {"object_name_to_idx": {}, "pred_name_to_idx": {}}
+        object_idx_to_name = {}
+        all_instance_categories = []
+        for c in instances_data["categories"]:
+            all_instance_categories.append(c["name"])
+            object_idx_to_name[c["id"]] = c["name"]
+            self.vocab["object_name_to_idx"][c["name"]] = c["id"]
+        all_stuff_categories = []
+        if stuff_data:
+            for c in stuff_data["categories"]:
+                all_stuff_categories.append(c["name"])
+                object_idx_to_name[c["id"]] = c["name"]
+                self.vocab["object_name_to_idx"][c["name"]] = c["id"]
+
+        if instance_whitelist is None:
+            instance_whitelist = all_instance_categories
+        if stuff_whitelist is None:
+            stuff_whitelist = all_stuff_categories
+        category_whitelist = set(instance_whitelist) | set(stuff_whitelist)
+
+        def keep(object_data):
+            image_id = object_data["image_id"]
+            _, _, w, h = object_data["bbox"]
+            W, H = self.image_id_to_size[image_id]
+            box_ok = (w * h) / (W * H) > min_object_size
+            name = object_idx_to_name[object_data["category_id"]]
+            category_ok = name in category_whitelist
+            other_ok = name != "other" or include_other
+            return box_ok and category_ok and other_ok
+
+        self.image_id_to_objects = defaultdict(list)
+        for od in instances_data["annotations"]:
+            if keep(od):
+                self.image_id_to_objects[od["image_id"]].append(od)
+        if stuff_data:
+            image_ids_with_stuff = set()
+            for od in stuff_data["annotations"]:
+                image_ids_with_stuff.add(od["image_id"])
+                if keep(od):
+                    self.image_id_to_objects[od["image_id"]].append(od)
+            if stuff_only:
+                self.image_ids = [i for i in self.image_ids
+                                  if i in image_ids_with_stuff]
+                for image_id in (set(self.image_id_to_filename)
+                                 - image_ids_with_stuff):
+                    self.image_id_to_filename.pop(image_id, None)
+                    self.image_id_to_size.pop(image_id, None)
+                    self.image_id_to_objects.pop(image_id, None)
+
+        self.vocab["object_name_to_idx"]["__image__"] = 0
+        name_to_idx = self.vocab["object_name_to_idx"]
+        assert len(name_to_idx) == len(set(name_to_idx.values()))
+        max_object_idx = max(name_to_idx.values())
+        idx_to_name = ["NONE"] * (1 + max_object_idx)
+        for name, idx in name_to_idx.items():
+            idx_to_name[idx] = name
+        self.vocab["object_idx_to_name"] = idx_to_name
+
+        self.image_ids = [
+            i for i in self.image_ids
+            if min_objects_per_image <= len(self.image_id_to_objects[i])
+            <= max_objects_per_image
+        ]
+
+        self.vocab["pred_idx_to_name"] = list(COCO_PRED_NAMES)
+        self.vocab["pred_name_to_idx"] = {
+            n: i for i, n in enumerate(COCO_PRED_NAMES)}
+
+    def total_objects(self) -> int:
+        total = 0
+        for i, image_id in enumerate(self.image_ids):
+            if self.max_samples and i >= self.max_samples:
+                break
+            total += len(self.image_id_to_objects[image_id])
+        return total
+
+    def __len__(self):
+        n = len(self.image_ids)
+        return n if self.max_samples is None else min(n, self.max_samples)
+
+    def _load_image(self, image_id):
+        from PIL import Image
+
+        path = os.path.join(self.image_dir,
+                            self.image_id_to_filename[image_id])
+        with open(path, "rb") as f:
+            with Image.open(f) as image:
+                WW, HH = image.size
+                img = resize_image(image.convert("RGB"), self.image_size)
+                arr = np.asarray(img, np.float32) / 255.0
+        if self.normalize_images:
+            arr = imagenet_preprocess(arr)
+        return arr.astype(np.float32), WW, HH
+
+    def __getitem__(self, index):
+        """Returns dict(image (H,W,3), objs (O,), boxes (O,4),
+        masks (O,M,M), triples (T,3)) — same content as the reference's
+        tuple (``coco.py:232-359``) in NHWC numpy form."""
+        image_id = self.image_ids[index]
+        image, WW, HH = self._load_image(image_id)
+
+        from PIL import Image
+
+        M = self.mask_size
+        objs, boxes, masks = [], [], []
+        for od in self.image_id_to_objects[image_id]:
+            objs.append(od["category_id"])
+            x, y, w, h = od["bbox"]
+            boxes.append([x / WW, y / HH, (x + w) / WW, (y + h) / HH])
+            mask = seg_to_mask(od["segmentation"], WW, HH)
+            # Crop to the box without producing a zero-area region
+            # (coco.py:274-279).
+            mx0, mx1 = int(round(x)), int(round(x + w))
+            my0, my1 = int(round(y)), int(round(y + h))
+            mx1 = max(mx0 + 1, mx1)
+            my1 = max(my0 + 1, my1)
+            mask = mask[my0:my1, mx0:mx1]
+            if mask.size == 0:
+                mask = np.zeros((1, 1), np.uint8)
+            mimg = Image.fromarray(mask * 255).resize((M, M), Image.BILINEAR)
+            masks.append((np.asarray(mimg, np.float32) > 128).astype(np.int64))
+
+        objs.append(0)  # __image__
+        boxes.append([0.0, 0.0, 1.0, 1.0])
+        masks.append(np.ones((M, M), np.int64))
+
+        objs = np.asarray(objs, np.int64)
+        boxes = np.asarray(boxes, np.float32)
+        masks = np.stack(masks)
+        triples = self._synthesize_triples(objs, boxes, masks)
+        return {"image": image, "objs": objs, "boxes": boxes,
+                "masks": masks, "triples": triples}
+
+    def _synthesize_triples(self, objs, boxes, masks):
+        """Random heuristic scene graph from box geometry
+        (reference ``coco.py:297-356``)."""
+        O = len(objs)
+        MH = MW = self.mask_size
+        centers = np.zeros((O, 2), np.float32)
+        for i in range(O):
+            x0, y0, x1, y1 = boxes[i]
+            m = masks[i] == 1
+            xs = np.broadcast_to(np.linspace(x0, x1, MW)[None, :], (MH, MW))
+            ys = np.broadcast_to(np.linspace(y0, y1, MH)[:, None], (MH, MW))
+            if m.sum() == 0:
+                centers[i] = [0.5 * (x0 + x1), 0.5 * (y0 + y1)]
+            else:
+                centers[i] = [xs[m].mean(), ys[m].mean()]
+
+        triples = []
+        real_objs = np.nonzero(objs != 0)[0] if O > 1 else []
+        for cur in real_objs:
+            choices = [o for o in real_objs if o != cur]
+            if not choices or not self.include_relationships:
+                break
+            other = self._rng.choice(choices)
+            if self._rng.random() > 0.5:
+                s, o = cur, other
+            else:
+                s, o = other, cur
+            sx0, sy0, sx1, sy1 = boxes[s]
+            ox0, oy0, ox1, oy1 = boxes[o]
+            d = centers[s] - centers[o]
+            theta = math.atan2(d[1], d[0])
+            if sx0 < ox0 and sx1 > ox1 and sy0 < oy0 and sy1 > oy1:
+                p = "surrounding"
+            elif sx0 > ox0 and sx1 < ox1 and sy0 > oy0 and sy1 < oy1:
+                p = "inside"
+            elif theta >= 3 * math.pi / 4 or theta <= -3 * math.pi / 4:
+                p = "left of"
+            elif -3 * math.pi / 4 <= theta < -math.pi / 4:
+                p = "above"
+            elif -math.pi / 4 <= theta < math.pi / 4:
+                p = "right of"
+            else:
+                p = "below"
+            triples.append([int(s), self.vocab["pred_name_to_idx"][p],
+                            int(o)])
+
+        in_image = self.vocab["pred_name_to_idx"]["__in_image__"]
+        for i in range(O - 1):
+            triples.append([i, in_image, O - 1])
+        return np.asarray(triples, np.int64).reshape(-1, 3)

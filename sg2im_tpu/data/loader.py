@@ -1,0 +1,135 @@
+"""Host-side batch loader: parallel sample decoding -> padded GraphBatches.
+
+Replaces the reference's torch ``DataLoader(collate_fn=coco_collate_fn)``
+(``scripts/train.py:288-306``; 4 worker processes): samples are decoded by a
+thread pool (PIL/numpy release the GIL for the heavy parts) and collated
+into **static-shape padded** batch dicts ready for the jitted train step,
+with a bounded prefetch queue so the TPU never waits on the host.
+
+The ragged collate + ``obj_to_img`` layout of the reference
+(``sg2im/data/coco.py:376-419``) is replaced by per-image padding — the
+XLA-idiomatic choice (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+
+def collate_padded(samples, O_max: int, T_max: int, drop_excess: bool = True):
+    """Collate per-sample dicts into one padded batch dict.
+
+    Graphs exceeding (O_max, T_max) are truncated (objects keep the
+    ``__image__`` node last; triples referencing dropped objects vanish) —
+    with reference-default caps (COCO <=9 objects, VG <=11) and sane pads
+    this never triggers.
+    """
+    N = len(samples)
+    H, W, _ = samples[0]["image"].shape
+    has_masks = samples[0].get("masks") is not None
+    M = samples[0]["masks"].shape[-1] if has_masks else 0
+
+    out = {
+        "imgs": np.zeros((N, H, W, 3), np.float32),
+        "objs": np.zeros((N, O_max), np.int32),
+        "boxes": np.zeros((N, O_max, 4), np.float32),
+        "triples": np.zeros((N, T_max, 3), np.int32),
+        "obj_mask": np.zeros((N, O_max), np.float32),
+        "triple_mask": np.zeros((N, T_max), np.float32),
+    }
+    if has_masks:
+        out["masks"] = np.zeros((N, O_max, M, M), np.float32)
+
+    for n, s in enumerate(samples):
+        objs = np.asarray(s["objs"])
+        triples = np.asarray(s["triples"]).reshape(-1, 3)
+        O = len(objs)
+        if O > O_max:
+            if not drop_excess:
+                raise ValueError(f"graph with {O} objects > O_max={O_max}")
+            # keep first O_max-1 + the __image__ node (last)
+            keep = list(range(O_max - 1)) + [O - 1]
+            remap = {k: i for i, k in enumerate(keep)}
+            objs = objs[keep]
+            triples = np.asarray(
+                [[remap[s_], p, remap[o_]] for s_, p, o_ in triples
+                 if s_ in remap and o_ in remap], np.int64).reshape(-1, 3)
+            s = dict(s, boxes=np.asarray(s["boxes"])[keep],
+                     masks=(np.asarray(s["masks"])[keep]
+                            if has_masks else None))
+            O = O_max
+        T = min(len(triples), T_max)
+        out["imgs"][n] = s["image"]
+        out["objs"][n, :O] = objs
+        out["obj_mask"][n, :O] = 1.0
+        out["boxes"][n, :O] = np.asarray(s["boxes"])[:O]
+        out["triples"][n, :T] = triples[:T]
+        out["triple_mask"][n, :T] = 1.0
+        if has_masks:
+            out["masks"][n, :O] = np.asarray(s["masks"])[:O]
+    return out
+
+
+class PaddedLoader:
+    """Iterable over padded batch dicts with threaded decode + prefetch."""
+
+    def __init__(self, dataset, batch_size: int, O_max: int, T_max: int,
+                 shuffle: bool = True, num_workers: int = 4,
+                 prefetch: int = 4, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.O_max = O_max
+        self.T_max = T_max
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(idx)
+        end = (n - n % self.batch_size) if self.drop_last else n
+        for i in range(0, end, self.batch_size):
+            yield idx[i:i + self.batch_size]
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in self._index_batches():
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__,
+                                            batch_idx))
+                    q.put(collate_padded(samples, self.O_max, self.T_max))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,118 @@
+"""Visual Genome scene-graph dataset (preprocessed HDF5).
+
+Framework-free re-implementation of reference ``VgSceneGraphDataset``
+(``sg2im/data/vg.py:32-141``): reads the preprocess_vg HDF5 schema whole
+into memory (``vg.py:52-58``), samples up to ``max_objects`` objects per
+image preferring those with relationships (+orphans, ``vg.py:85-104``),
+remaps triples, and appends the ``__image__`` node + ``__in_image__`` edges.
+
+Quirk reproduced: when an image has more than ``max_objects - 1`` related
+objects the reference samples ``max_objects`` of them (``vg.py:98-99``), so
+graphs can end up with ``max_objects + 1`` objects including ``__image__``
+— pad targets must allow for it.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+from sg2im_tpu.data.transforms import imagenet_preprocess, resize_image
+
+
+class VgSceneGraphDataset:
+    def __init__(self, vocab, h5_path, image_dir, image_size=(256, 256),
+                 normalize_images=True, max_objects=10, max_samples=None,
+                 include_relationships=True, use_orphaned_objects=True,
+                 seed=None):
+        self.image_dir = image_dir
+        self.image_size = tuple(image_size)
+        self.vocab = vocab
+        self.num_objects = len(vocab["object_idx_to_name"])
+        self.use_orphaned_objects = use_orphaned_objects
+        self.max_objects = max_objects
+        self.max_samples = max_samples
+        self.include_relationships = include_relationships
+        self.normalize_images = normalize_images
+        self._rng = random.Random(seed) if seed is not None else random
+
+        import h5py
+
+        self.data = {}
+        with h5py.File(h5_path, "r") as f:
+            for k, v in f.items():
+                if k == "image_paths":
+                    self.image_paths = [
+                        p.decode() if isinstance(p, bytes) else str(p)
+                        for p in v
+                    ]
+                else:
+                    self.data[k] = np.asarray(v).astype(np.int64)
+
+    def __len__(self):
+        num = self.data["object_names"].shape[0]
+        return num if self.max_samples is None else min(self.max_samples, num)
+
+    def __getitem__(self, index):
+        from PIL import Image
+
+        img_path = os.path.join(self.image_dir, self.image_paths[index])
+        with open(img_path, "rb") as f:
+            with Image.open(f) as image:
+                WW, HH = image.size
+                img = resize_image(image.convert("RGB"), self.image_size)
+                arr = np.asarray(img, np.float32) / 255.0
+        if self.normalize_images:
+            arr = imagenet_preprocess(arr)
+        image = arr.astype(np.float32)
+
+        num_objs_img = int(self.data["objects_per_image"][index])
+        num_rels = int(self.data["relationships_per_image"][index])
+        obj_idxs_with_rels = set()
+        obj_idxs_without_rels = set(range(num_objs_img))
+        for r in range(num_rels):
+            s = int(self.data["relationship_subjects"][index, r])
+            o = int(self.data["relationship_objects"][index, r])
+            obj_idxs_with_rels.update((s, o))
+            obj_idxs_without_rels.discard(s)
+            obj_idxs_without_rels.discard(o)
+
+        obj_idxs = list(obj_idxs_with_rels)
+        orphans = list(obj_idxs_without_rels)
+        if len(obj_idxs) > self.max_objects - 1:
+            # Reference samples max_objects here, not max_objects-1
+            # (vg.py:98-99) — reproduced.
+            obj_idxs = self._rng.sample(obj_idxs, self.max_objects)
+        if len(obj_idxs) < self.max_objects - 1 and self.use_orphaned_objects:
+            num_to_add = min(self.max_objects - 1 - len(obj_idxs),
+                             len(orphans))
+            obj_idxs += self._rng.sample(orphans, num_to_add)
+        O = len(obj_idxs) + 1
+
+        objs = np.full(O, -1, np.int64)
+        boxes = np.tile(np.array([0, 0, 1, 1], np.float32), (O, 1))
+        mapping = {}
+        for i, obj_idx in enumerate(obj_idxs):
+            objs[i] = self.data["object_names"][index, obj_idx]
+            x, y, w, h = self.data["object_boxes"][index, obj_idx].tolist()
+            boxes[i] = [x / WW, y / HH, (x + w) / WW, (y + h) / HH]
+            mapping[obj_idx] = i
+        objs[O - 1] = self.vocab["object_name_to_idx"]["__image__"]
+
+        triples = []
+        for r in range(num_rels):
+            if not self.include_relationships:
+                break
+            s = mapping.get(int(self.data["relationship_subjects"][index, r]))
+            o = mapping.get(int(self.data["relationship_objects"][index, r]))
+            p = int(self.data["relationship_predicates"][index, r])
+            if s is not None and o is not None:
+                triples.append([s, p, o])
+        in_image = self.vocab["pred_name_to_idx"]["__in_image__"]
+        for i in range(O - 1):
+            triples.append([i, in_image, O - 1])
+
+        return {"image": image, "objs": objs, "boxes": boxes, "masks": None,
+                "triples": np.asarray(triples, np.int64).reshape(-1, 3)}

@@ -1,0 +1,332 @@
+"""Data pipeline tests: RLE codec, COCO/VG dataset parity vs the reference
+implementations on synthetic fixtures, and the padded loader."""
+
+import json
+import os
+import random
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+from sg2im_tpu.data import rle as rle_mod
+from sg2im_tpu.data.coco import CocoSceneGraphDataset
+from sg2im_tpu.data.loader import PaddedLoader, collate_padded
+from sg2im_tpu.data.vg import VgSceneGraphDataset
+
+# ---------------------------------------------------------------------------
+# RLE codec
+# ---------------------------------------------------------------------------
+
+def test_rle_roundtrip():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        mask = (rng.rand(23, 17) > 0.6).astype(np.uint8)
+        rle = rle_mod.mask_to_rle(mask)
+        back = rle_mod.rle_to_mask(rle)
+        np.testing.assert_array_equal(back, mask)
+
+
+def test_rle_uncompressed_counts():
+    # 3x4 mask, column-major runs: 2 zeros, 3 ones, 7 zeros
+    rle = {"size": [3, 4], "counts": [2, 3, 7]}
+    m = rle_mod.rle_to_mask(rle)
+    expect = np.zeros((3, 4), np.uint8)
+    flat = np.zeros(12, np.uint8)
+    flat[2:5] = 1
+    expect = flat.reshape((4, 3)).T
+    np.testing.assert_array_equal(m, expect)
+
+
+def test_polygon_rasterization():
+    # A big axis-aligned square: interior must be filled.
+    poly = [[2, 2, 10, 2, 10, 10, 2, 10]]
+    m = rle_mod.polygons_to_mask(poly, 16, 16)
+    assert m[6, 6] == 1 and m[0, 0] == 0 and m[15, 15] == 0
+    assert m.sum() >= 64
+
+
+# ---------------------------------------------------------------------------
+# Synthetic COCO fixture
+# ---------------------------------------------------------------------------
+
+def _fake_coco(tmp_path):
+    from PIL import Image
+
+    img_dir = os.path.join(tmp_path, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    images, inst_anns, stuff_anns = [], [], []
+    W, H = 64, 48
+    for i in range(4):
+        fn = f"img{i}.png"
+        Image.fromarray(
+            rng.randint(0, 255, (H, W, 3), dtype=np.uint8)).save(
+            os.path.join(img_dir, fn))
+        images.append({"id": 100 + i, "file_name": fn,
+                       "width": W, "height": H})
+        # three instance objects per image (polygon segmentations)
+        for j in range(3):
+            x, y = 4 + 15 * j, 6 + 8 * j
+            w, h = 14, 16
+            poly = [[x, y, x + w, y, x + w, y + h, x, y + h]]
+            inst_anns.append({
+                "id": len(inst_anns) + 1, "image_id": 100 + i,
+                "category_id": 1 + j, "bbox": [x, y, w, h],
+                "segmentation": poly,
+            })
+        # one stuff object (compressed RLE) covering the bottom half
+        m = np.zeros((H, W), np.uint8)
+        m[H // 2:, :] = 1
+        stuff_anns.append({
+            "id": 1000 + i, "image_id": 100 + i, "category_id": 90,
+            "bbox": [0, H // 2, W, H // 2],
+            "segmentation": rle_mod.mask_to_rle(m),
+        })
+    instances = {
+        "images": images,
+        "categories": [{"id": 1, "name": "cat"}, {"id": 2, "name": "dog"},
+                       {"id": 3, "name": "bird"}],
+        "annotations": inst_anns,
+    }
+    stuff = {
+        "images": images,
+        "categories": [{"id": 90, "name": "grass"}],
+        "annotations": stuff_anns,
+    }
+    inst_path = os.path.join(tmp_path, "instances.json")
+    stuff_path = os.path.join(tmp_path, "stuff.json")
+    with open(inst_path, "w") as f:
+        json.dump(instances, f)
+    with open(stuff_path, "w") as f:
+        json.dump(stuff, f)
+    return img_dir, inst_path, stuff_path
+
+
+def _stub_reference_deps(monkeypatch):
+    """Give the reference code pycocotools/skimage backed by our codec, so
+    its dataset logic runs and we can diff against it."""
+    mask_utils = types.ModuleType("pycocotools.mask")
+
+    def frPyObjects(seg, h, w):
+        if isinstance(seg, list):
+            if seg and isinstance(seg[0], list):
+                return [rle_mod.mask_to_rle(
+                    rle_mod.polygons_to_mask([p], w, h)) for p in seg]
+            return rle_mod.mask_to_rle(rle_mod.polygons_to_mask([seg], w, h))
+        return {"size": seg["size"], "counts": rle_mod.encode_rle_counts(
+            seg["counts"]).decode()}
+
+    def merge(rles):
+        m = None
+        for r in rles:
+            d = rle_mod.rle_to_mask(r)
+            m = d if m is None else np.maximum(m, d)
+        return rle_mod.mask_to_rle(m)
+
+    mask_utils.frPyObjects = frPyObjects
+    mask_utils.merge = merge
+    mask_utils.decode = rle_mod.rle_to_mask
+    pycocotools = types.ModuleType("pycocotools")
+    pycocotools.mask = mask_utils
+    monkeypatch.setitem(sys.modules, "pycocotools", pycocotools)
+    monkeypatch.setitem(sys.modules, "pycocotools.mask", mask_utils)
+
+    skimage = types.ModuleType("skimage")
+    transform = types.ModuleType("skimage.transform")
+
+    def resize(img, shape, mode=None):
+        from PIL import Image
+
+        out = Image.fromarray(img.astype(np.float32)).resize(
+            (shape[1], shape[0]), Image.BILINEAR)
+        return np.asarray(out, np.float64)
+
+    transform.resize = resize
+    skimage.transform = transform
+    monkeypatch.setitem(sys.modules, "skimage", skimage)
+    monkeypatch.setitem(sys.modules, "skimage.transform", transform)
+
+    _stub_torchvision(monkeypatch)
+
+
+def _stub_torchvision(monkeypatch):
+    """Minimal torchvision.transforms for the reference data code."""
+    import torch
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, img):
+            arr = np.asarray(img, np.float32) / 255.0
+            return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    tvt.Compose = Compose
+    tvt.ToTensor = ToTensor
+    tvt.Normalize = Normalize
+    tv.transforms = tvt
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tvt)
+
+
+def test_coco_dataset_matches_reference(tmp_path, monkeypatch):
+    _stub_reference_deps(monkeypatch)
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+
+    from sg2im.data.coco import CocoSceneGraphDataset as RefCoco
+
+    kwargs = dict(image_dir=img_dir, instances_json=inst_path,
+                  stuff_json=stuff_path, image_size=(32, 32), mask_size=8,
+                  min_object_size=0.02, min_objects_per_image=3,
+                  max_objects_per_image=8)
+    ref = RefCoco(**kwargs)
+    mine = CocoSceneGraphDataset(**kwargs)
+
+    assert mine.vocab == ref.vocab
+    assert len(mine) == len(ref)
+    assert mine.total_objects() == ref.total_objects()
+
+    for i in range(len(ref)):
+        random.seed(42 + i)
+        r_img, r_objs, r_boxes, r_masks, r_triples = ref[i]
+        random.seed(42 + i)
+        s = mine[i]
+        np.testing.assert_array_equal(s["objs"], r_objs.numpy())
+        np.testing.assert_allclose(s["boxes"], r_boxes.numpy(), atol=1e-6)
+        np.testing.assert_array_equal(s["masks"], r_masks.numpy())
+        np.testing.assert_array_equal(s["triples"], r_triples.numpy())
+        np.testing.assert_allclose(
+            s["image"], r_img.permute(1, 2, 0).numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic VG fixture
+# ---------------------------------------------------------------------------
+
+def _fake_vg(tmp_path):
+    import h5py
+    from PIL import Image
+
+    img_dir = os.path.join(tmp_path, "vg_images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(1)
+    N, O, R = 5, 12, 8
+    paths = []
+    for i in range(N):
+        fn = f"vg{i}.jpg"
+        Image.fromarray(
+            rng.randint(0, 255, (40, 50, 3), dtype=np.uint8)).save(
+            os.path.join(img_dir, fn))
+        paths.append(fn)
+    h5_path = os.path.join(tmp_path, "vg.h5")
+    with h5py.File(h5_path, "w") as f:
+        f.create_dataset("image_paths", data=[p.encode() for p in paths])
+        f["object_names"] = rng.randint(1, 6, (N, O)).astype(np.int32)
+        boxes = np.stack([
+            rng.randint(0, 20, (N, O)), rng.randint(0, 15, (N, O)),
+            rng.randint(5, 20, (N, O)), rng.randint(5, 15, (N, O))],
+            axis=-1).astype(np.int32)
+        f["object_boxes"] = boxes
+        f["objects_per_image"] = np.full(N, O, np.int32)
+        f["relationship_subjects"] = rng.randint(0, O, (N, R)).astype(np.int32)
+        f["relationship_objects"] = rng.randint(0, O, (N, R)).astype(np.int32)
+        f["relationship_predicates"] = rng.randint(1, 4, (N, R)).astype(
+            np.int32)
+        f["relationships_per_image"] = np.full(N, R, np.int32)
+    vocab = {
+        "object_idx_to_name": ["__image__"] + [f"o{i}" for i in range(1, 6)],
+        "object_name_to_idx": {"__image__": 0,
+                               **{f"o{i}": i for i in range(1, 6)}},
+        "pred_idx_to_name": ["__in_image__", "p1", "p2", "p3"],
+        "pred_name_to_idx": {"__in_image__": 0, "p1": 1, "p2": 2, "p3": 3},
+    }
+    return vocab, h5_path, img_dir
+
+
+def test_vg_dataset_matches_reference(tmp_path, monkeypatch):
+    _stub_torchvision(monkeypatch)
+    vocab, h5_path, img_dir = _fake_vg(str(tmp_path))
+
+    from sg2im.data.vg import VgSceneGraphDataset as RefVg
+
+    kwargs = dict(vocab=vocab, h5_path=h5_path, image_dir=img_dir,
+                  image_size=(32, 32), max_objects=6)
+    ref = RefVg(**kwargs)
+    # modern h5py returns bytes paths; the reference predates that
+    ref.image_paths = [p.decode() if isinstance(p, bytes) else p
+                       for p in ref.image_paths]
+    mine = VgSceneGraphDataset(**kwargs)
+    assert len(mine) == len(ref)
+    for i in range(len(ref)):
+        random.seed(7 + i)
+        r_img, r_objs, r_boxes, r_triples = ref[i]
+        random.seed(7 + i)
+        s = mine[i]
+        np.testing.assert_array_equal(s["objs"], r_objs.numpy())
+        np.testing.assert_allclose(s["boxes"], r_boxes.numpy(), atol=1e-6)
+        np.testing.assert_array_equal(s["triples"], r_triples.numpy())
+        np.testing.assert_allclose(
+            s["image"], r_img.permute(1, 2, 0).numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Padded loader
+# ---------------------------------------------------------------------------
+
+def test_padded_loader(tmp_path):
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    ds = CocoSceneGraphDataset(
+        image_dir=img_dir, instances_json=inst_path, stuff_json=stuff_path,
+        image_size=(32, 32), mask_size=8, seed=0)
+    loader = PaddedLoader(ds, batch_size=2, O_max=8, T_max=12,
+                          num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 2
+    b = batches[0]
+    assert b["imgs"].shape == (2, 32, 32, 3)
+    assert b["objs"].shape == (2, 8)
+    assert b["masks"].shape == (2, 8, 8, 8)
+    assert b["triples"].shape == (2, 12, 3)
+    # 5 objects per image (3 instances + 1 stuff + __image__)
+    assert b["obj_mask"].sum(axis=1).tolist() == [5.0, 5.0]
+    # real triples reference only real object slots
+    tm = b["triple_mask"].astype(bool)
+    assert b["triples"][tm][:, [0, 2]].max() < 5
+
+
+def test_collate_truncation():
+    rng = np.random.RandomState(0)
+    sample = {
+        "image": np.zeros((8, 8, 3), np.float32),
+        "objs": np.array([1, 2, 3, 4, 0]),
+        "boxes": rng.rand(5, 4).astype(np.float32),
+        "masks": None,
+        "triples": np.array([[0, 1, 1], [3, 1, 2], [0, 0, 4]]),
+    }
+    sample = {k: v for k, v in sample.items() if v is not None}
+    out = collate_padded([sample], O_max=4, T_max=4)
+    # slots: 0,1,2 kept + __image__ (orig 4) remapped to 3
+    np.testing.assert_array_equal(out["objs"][0], [1, 2, 3, 0])
+    kept = out["triples"][0][out["triple_mask"][0].astype(bool)]
+    np.testing.assert_array_equal(kept, [[0, 1, 1], [0, 0, 3]])
