@@ -1,0 +1,261 @@
+"""train CLI — flag-compatible with reference ``scripts/train.py``.
+
+Example (COCO 64x64 default config):
+    python -m sg2im_tpu.cli.train --dataset coco --batch_size 32
+
+All ~50 reference flags are accepted with identical names and defaults
+(``scripts/train.py:47-140``); TPU-native extras are grouped at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from sg2im_tpu.train.config import TrainConfig
+from sg2im_tpu.utils.flags import bool_flag, float_tuple, int_tuple, str_tuple
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    d = TrainConfig()
+    p.add_argument("--dataset", default=d.dataset, choices=["vg", "coco"])
+    p.add_argument("--batch_size", default=d.batch_size, type=int)
+    p.add_argument("--num_iterations", default=d.num_iterations, type=int)
+    p.add_argument("--learning_rate", default=d.learning_rate, type=float)
+    p.add_argument("--eval_mode_after", default=d.eval_mode_after, type=int)
+    p.add_argument("--image_size", default="64,64", type=int_tuple)
+    p.add_argument("--num_train_samples", default=None, type=int)
+    p.add_argument("--num_val_samples", default=d.num_val_samples, type=int)
+    p.add_argument("--shuffle_val", default=True, type=bool_flag)
+    p.add_argument("--loader_num_workers", default=4, type=int)
+    p.add_argument("--include_relationships", default=True, type=bool_flag)
+    # VG
+    p.add_argument("--vg_image_dir", default=d.vg_image_dir)
+    p.add_argument("--train_h5", default=d.train_h5)
+    p.add_argument("--val_h5", default=d.val_h5)
+    p.add_argument("--vocab_json", default=d.vocab_json)
+    p.add_argument("--max_objects_per_image", default=10, type=int)
+    p.add_argument("--vg_use_orphaned_objects", default=True, type=bool_flag)
+    # COCO
+    p.add_argument("--coco_train_image_dir", default=d.coco_train_image_dir)
+    p.add_argument("--coco_val_image_dir", default=d.coco_val_image_dir)
+    p.add_argument("--coco_train_instances_json",
+                   default=d.coco_train_instances_json)
+    p.add_argument("--coco_train_stuff_json", default=d.coco_train_stuff_json)
+    p.add_argument("--coco_val_instances_json",
+                   default=d.coco_val_instances_json)
+    p.add_argument("--coco_val_stuff_json", default=d.coco_val_stuff_json)
+    p.add_argument("--instance_whitelist", default=None, type=str_tuple)
+    p.add_argument("--stuff_whitelist", default=None, type=str_tuple)
+    p.add_argument("--coco_include_other", default=False, type=bool_flag)
+    p.add_argument("--min_object_size", default=0.02, type=float)
+    p.add_argument("--min_objects_per_image", default=3, type=int)
+    p.add_argument("--coco_stuff_only", default=True, type=bool_flag)
+    # Generator
+    p.add_argument("--mask_size", default=16, type=int)
+    p.add_argument("--embedding_dim", default=128, type=int)
+    p.add_argument("--gconv_dim", default=128, type=int)
+    p.add_argument("--gconv_hidden_dim", default=512, type=int)
+    p.add_argument("--gconv_num_layers", default=5, type=int)
+    p.add_argument("--mlp_normalization", default="none")
+    p.add_argument("--refinement_network_dims", default="1024,512,256,128,64",
+                   type=int_tuple)
+    p.add_argument("--normalization", default="batch")
+    p.add_argument("--activation", default="leakyrelu-0.2")
+    p.add_argument("--layout_noise_dim", default=32, type=int)
+    p.add_argument("--use_boxes_pred_after", default=-1, type=int)
+    # Losses
+    p.add_argument("--mask_loss_weight", default=0.0, type=float)
+    p.add_argument("--l1_pixel_loss_weight", default=1.0, type=float)
+    p.add_argument("--bbox_pred_loss_weight", default=10.0, type=float)
+    p.add_argument("--predicate_pred_loss_weight", default=0.0, type=float)
+    # Discriminators
+    p.add_argument("--discriminator_loss_weight", default=0.01, type=float)
+    p.add_argument("--gan_loss_type", default="gan")
+    p.add_argument("--d_clip", default=None, type=float)
+    p.add_argument("--d_normalization", default="batch")
+    p.add_argument("--d_padding", default="valid")
+    p.add_argument("--d_activation", default="leakyrelu-0.2")
+    p.add_argument("--d_obj_arch", default="C4-64-2,C4-128-2,C4-256-2")
+    p.add_argument("--crop_size", default=32, type=int)
+    p.add_argument("--d_obj_weight", default=1.0, type=float)
+    p.add_argument("--ac_loss_weight", default=0.1, type=float)
+    p.add_argument("--d_img_arch", default="C4-64-2,C4-128-2,C4-256-2")
+    p.add_argument("--d_img_weight", default=1.0, type=float)
+    # Output
+    p.add_argument("--print_every", default=10, type=int)
+    p.add_argument("--timing", default=False, type=bool_flag)
+    p.add_argument("--checkpoint_every", default=10000, type=int)
+    p.add_argument("--output_dir", default=os.getcwd())
+    p.add_argument("--checkpoint_name", default="checkpoint")
+    p.add_argument("--checkpoint_start_from", default=None)
+    p.add_argument("--restore_from_checkpoint", default=False, type=bool_flag)
+    # TPU-native extras
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--data_parallel", default=1, type=int,
+                   help="devices along the 'data' mesh axis")
+    p.add_argument("--pad_objects_to", default=None, type=int)
+    p.add_argument("--pad_triples_to", default=None, type=int)
+    p.add_argument("--profile_dir", default=None,
+                   help="jax.profiler trace output dir")
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
+    cfg = TrainConfig(**kw)
+    # Auto-derive static pad targets from dataset caps.
+    if args.pad_objects_to is None:
+        if cfg.dataset == "coco":
+            o_cap = 8 + 1  # max_objects_per_image + __image__
+            t_cap = 8 + 8  # one heuristic triple per object + __in_image__
+        else:
+            o_cap = cfg.max_objects_per_image + 1  # (+1 quirk-safe below)
+            t_cap = 30 + cfg.max_objects_per_image + 1
+        cfg = dataclasses.replace(
+            cfg,
+            pad_objects_to=int(np.ceil((o_cap + 1) / 8) * 8),
+            pad_triples_to=int(np.ceil(t_cap / 8) * 8),
+        )
+    return cfg
+
+
+def check_args(config: TrainConfig):
+    H, _ = config.image_size
+    for _ in config.refinement_network_dims[1:]:
+        H = H // 2
+    if H == 0:
+        raise ValueError("Too many layers in refinement network")
+
+
+def build_datasets(config: TrainConfig):
+    if config.dataset == "coco":
+        from sg2im_tpu.data.coco import CocoSceneGraphDataset
+
+        common = dict(
+            stuff_only=config.coco_stuff_only,
+            image_size=config.image_size,
+            mask_size=config.mask_size,
+            min_object_size=config.min_object_size,
+            min_objects_per_image=config.min_objects_per_image,
+            instance_whitelist=config.instance_whitelist,
+            stuff_whitelist=config.stuff_whitelist,
+            include_other=config.coco_include_other,
+            include_relationships=config.include_relationships,
+        )
+        train = CocoSceneGraphDataset(
+            image_dir=config.coco_train_image_dir,
+            instances_json=config.coco_train_instances_json,
+            stuff_json=config.coco_train_stuff_json,
+            max_samples=config.num_train_samples, **common)
+        val = CocoSceneGraphDataset(
+            image_dir=config.coco_val_image_dir,
+            instances_json=config.coco_val_instances_json,
+            stuff_json=config.coco_val_stuff_json,
+            max_samples=config.num_val_samples, **common)
+        assert train.vocab == val.vocab
+        return train.vocab, train, val
+    from sg2im_tpu.data.vg import VgSceneGraphDataset
+
+    with open(config.vocab_json) as f:
+        vocab = json.load(f)
+    common = dict(
+        vocab=vocab, image_dir=config.vg_image_dir,
+        image_size=config.image_size,
+        max_objects=config.max_objects_per_image,
+        use_orphaned_objects=config.vg_use_orphaned_objects,
+        include_relationships=config.include_relationships)
+    train = VgSceneGraphDataset(h5_path=config.train_h5,
+                                max_samples=config.num_train_samples,
+                                **common)
+    val = VgSceneGraphDataset(h5_path=config.val_h5,
+                              max_samples=config.num_val_samples, **common)
+    return vocab, train, val
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+    check_args(config)
+
+    from sg2im_tpu.data.loader import PaddedLoader
+    from sg2im_tpu.train.trainer import Trainer
+    from sg2im_tpu.utils.timing import profile_trace, timeit
+
+    vocab, train_ds, val_ds = build_datasets(config)
+    print(f"Training dataset has {len(train_ds)} images")
+    loader_kw = dict(batch_size=config.batch_size,
+                     O_max=config.pad_objects_to,
+                     T_max=config.pad_triples_to,
+                     num_workers=config.loader_num_workers,
+                     seed=config.seed)
+    train_loader = PaddedLoader(train_ds, shuffle=True, **loader_kw)
+    val_loader = PaddedLoader(val_ds, shuffle=config.shuffle_val, **loader_kw)
+
+    trainer = Trainer(config, vocab)
+    state = trainer.init_state(seed=config.seed)
+
+    history = {"losses": defaultdict(list), "losses_ts": [],
+               "checkpoint_ts": [], "train_iou": [], "val_iou": [],
+               "val_losses": defaultdict(list)}
+    ckpt_path = os.path.join(config.output_dir,
+                             f"{config.checkpoint_name}_state")
+    if config.restore_from_checkpoint and os.path.exists(ckpt_path):
+        state, meta = trainer.load_checkpoint(ckpt_path, state)
+        print(f"Restored checkpoint at t={int(state.step)}")
+        if meta.get("extra"):
+            for k, v in meta["extra"].items():
+                if k in history:
+                    history[k] = (defaultdict(list, v)
+                                  if isinstance(v, dict) else v)
+
+    t = int(state.step)
+    switched = t >= config.eval_mode_after
+    with profile_trace(args.profile_dir):
+        while t < config.num_iterations:
+            for batch in train_loader:
+                if t >= config.num_iterations:
+                    break
+                if not switched and t >= config.eval_mode_after:
+                    print("switching to eval mode")
+                    state = trainer.reset_g_optimizer(state)
+                    switched = True
+                with timeit("step", config.timing):
+                    state, metrics = trainer.step(state, batch)
+                t = int(state.step)
+
+                if t % config.print_every == 0:
+                    print(f"t = {t} / {config.num_iterations}")
+                    for name, val in sorted(metrics.items()):
+                        v = float(val)
+                        print(f"  [{name}]: {v:.4f}")
+                        history["losses"][name].append(v)
+                    history["losses_ts"].append(t)
+
+                if t % config.checkpoint_every == 0:
+                    print("checking on val")
+                    val_losses, val_iou = trainer.check_model(
+                        state, iter(val_loader),
+                        num_samples=config.num_val_samples)
+                    print("val iou:", val_iou)
+                    history["checkpoint_ts"].append(t)
+                    history["val_iou"].append(val_iou)
+                    for k, v in val_losses.items():
+                        history["val_losses"][k].append(v)
+                    trainer.save_checkpoint(
+                        state, ckpt_path,
+                        extra={k: (dict(v) if isinstance(v, defaultdict)
+                                   else v) for k, v in history.items()})
+                    print("Saved checkpoint to", ckpt_path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

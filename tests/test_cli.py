@@ -1,0 +1,109 @@
+"""CLI end-to-end tests: train on synthetic COCO, resume, sample_images."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "/root/reference")
+
+from tests.test_data import _fake_coco, _fake_vg
+
+TINY_FLAGS = [
+    "--dataset", "coco",
+    "--batch_size", "2",
+    "--image_size", "16,16",
+    "--embedding_dim", "8",
+    "--gconv_dim", "12",
+    "--gconv_hidden_dim", "16",
+    "--gconv_num_layers", "2",
+    "--refinement_network_dims", "12,8",
+    "--mask_size", "4",
+    "--layout_noise_dim", "4",
+    "--crop_size", "8",
+    "--d_obj_arch", "C3-8-2",
+    "--d_img_arch", "C3-8-2",
+    "--print_every", "1",
+    "--checkpoint_every", "2",
+    "--loader_num_workers", "1",
+    "--num_val_samples", "2",
+]
+
+
+def _coco_flags(tmp_path):
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    return TINY_FLAGS + [
+        "--coco_train_image_dir", img_dir,
+        "--coco_val_image_dir", img_dir,
+        "--coco_train_instances_json", inst_path,
+        "--coco_val_instances_json", inst_path,
+        "--coco_train_stuff_json", stuff_path,
+        "--coco_val_stuff_json", stuff_path,
+    ]
+
+
+def test_train_cli_and_resume(tmp_path, capsys):
+    from sg2im_tpu.cli.train import main
+
+    out_dir = os.path.join(tmp_path, "run")
+    os.makedirs(out_dir)
+    flags = _coco_flags(tmp_path) + [
+        "--num_iterations", "4", "--output_dir", out_dir]
+    assert main(flags) == 0
+    captured = capsys.readouterr().out
+    assert "t = 4 / 4" in captured
+    assert "val iou:" in captured
+    ckpt = os.path.join(out_dir, "checkpoint_state")
+    assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
+
+    # Resume and run 2 more iterations.
+    flags2 = _coco_flags(tmp_path) + [
+        "--num_iterations", "6", "--output_dir", out_dir,
+        "--restore_from_checkpoint", "1"]
+    assert main(flags2) == 0
+    captured = capsys.readouterr().out
+    assert "Restored checkpoint at t=4" in captured
+    assert "t = 6 / 6" in captured
+
+
+def test_sample_images_cli(tmp_path, monkeypatch):
+    import torch.nn.functional as F
+
+    orig = F.grid_sample
+    monkeypatch.setattr(
+        F, "grid_sample",
+        lambda i, g, **kw: orig(i, g, align_corners=True))
+
+    from sg2im.model import Sg2ImModel
+
+    vocab, h5_path, img_dir = _fake_vg(str(tmp_path))
+    torch.manual_seed(0)
+    kwargs = dict(image_size=(16, 16), embedding_dim=8, gconv_dim=12,
+                  gconv_hidden_dim=16, gconv_num_layers=2,
+                  refinement_dims=(12, 8), mask_size=4, layout_noise_dim=4)
+    model = Sg2ImModel(vocab=vocab, **kwargs)
+    ckpt_path = os.path.join(tmp_path, "m.pt")
+    torch.save({"model_state": model.state_dict(),
+                "model_kwargs": dict(kwargs, vocab=vocab),
+                "args": {"dataset": "vg", "max_objects_per_image": 6}},
+               ckpt_path)
+
+    from sg2im_tpu.cli.sample_images import main
+
+    out_dir = os.path.join(tmp_path, "samples")
+    rc = main([
+        "--checkpoint", ckpt_path, "--dataset", "vg",
+        "--image_size", "16,16", "--batch_size", "2", "--num_samples", "4",
+        "--vg_h5", h5_path, "--vg_image_dir", img_dir,
+        "--output_dir", out_dir, "--save_gt_imgs", "1",
+        "--use_gt_boxes", "1", "--loader_num_workers", "1",
+    ])
+    assert rc == 0
+    imgs = sorted(os.listdir(os.path.join(out_dir, "img")))
+    assert len(imgs) == 4
+    assert os.path.exists(os.path.join(out_dir, "gt_img", "img000000.png"))
+    data = np.load(os.path.join(out_dir, "data.npz"))
+    assert data["boxes_pred"].shape[0] >= 4
