@@ -1,0 +1,77 @@
+"""Checkpoint introspection & slimming CLIs.
+
+Equivalents of reference ``scripts/print_args.py`` and
+``scripts/strip_checkpoint.py`` that work on both reference ``.pt``
+checkpoints and this framework's native stores.
+
+Usage:
+    python -m sg2im_tpu.cli.checkpoint_tools print_args CKPT
+    python -m sg2im_tpu.cli.checkpoint_tools strip IN.pt OUT.pt \
+        [--keep_discriminators 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_any(path):
+    if os.path.isdir(path):  # native store
+        meta_path = os.path.join(path, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return {"args": (meta.get("config") or {}), "_native": True}
+    from sg2im_tpu.ckpt.torch_convert import load_reference_checkpoint
+
+    return load_reference_checkpoint(path)
+
+
+def print_args(path: str):
+    """Print the training args stored in a checkpoint (reference
+    ``scripts/print_args.py``)."""
+    ckpt = _load_any(path)
+    args = ckpt.get("args") or {}
+    for k in sorted(args):
+        print(f"{k}: {args[k]}")
+    return 0
+
+
+def strip(in_path: str, out_path: str, keep_discriminators: bool = True):
+    """Strip a .pt checkpoint down to inference essentials (reference
+    ``scripts/strip_checkpoint.py:54-63``: keep args/model_state/
+    model_kwargs [+ discriminator pairs])."""
+    import torch
+
+    ckpt = _load_any(in_path)
+    keep = ["args", "model_state", "model_kwargs"]
+    if keep_discriminators:
+        keep += ["d_img_state", "d_img_kwargs", "d_obj_state", "d_obj_kwargs"]
+    out = {k: v for k, v in ckpt.items() if k in keep}
+    torch.save(out, out_path)
+    print(f"Wrote stripped checkpoint to {out_path} "
+          f"(kept {sorted(out.keys())})")
+    return 0
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pa = sub.add_parser("print_args")
+    pa.add_argument("checkpoint")
+    ps = sub.add_parser("strip")
+    ps.add_argument("input_checkpoint")
+    ps.add_argument("output_checkpoint")
+    ps.add_argument("--keep_discriminators", type=int, default=1)
+    args = p.parse_args(argv)
+    if args.cmd == "print_args":
+        return print_args(args.checkpoint)
+    return strip(args.input_checkpoint, args.output_checkpoint,
+                 bool(args.keep_discriminators))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
