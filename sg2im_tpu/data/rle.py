@@ -64,9 +64,19 @@ def encode_rle_counts(runs) -> bytes:
 def rle_to_mask(rle: dict) -> np.ndarray:
     """Decode an RLE dict {'size': [h, w], 'counts': str|list} to a (h, w)
     uint8 mask.  Runs alternate background/foreground down columns
-    (column-major, like pycocotools)."""
+    (column-major, like pycocotools).  Uses the native C codec
+    (``sg2im_tpu.native``) when built."""
     h, w = rle["size"]
     counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        try:
+            from sg2im_tpu.native import rle_decode_native
+
+            m = rle_decode_native(counts, h, w)
+            if m is not None:
+                return m
+        except (OSError, ImportError):
+            pass
     if isinstance(counts, (list, tuple, np.ndarray)):
         runs = np.asarray(counts, np.int64)
     else:

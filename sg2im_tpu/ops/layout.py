@@ -146,7 +146,7 @@ def boxes_to_layout(vecs, boxes, obj_mask, H: int, W: int | None = None,
 
 
 def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
-                    pooling: str = "sum"):
+                    pooling: str = "sum", backend: str = "auto"):
     """Padded-batch layout composition modulated by per-object masks.
 
     NHWC analogue of reference ``masks_to_layout`` (``sg2im/layout.py:66-91``).
@@ -154,10 +154,39 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
     Args:
       vecs: (N, O, D); boxes: (N, O, 4); masks: (N, O, M, M);
       obj_mask: (N, O) or None.
+      backend: 'auto' (fused Pallas kernel on TPU, XLA elsewhere), 'xla',
+        'pallas', or 'pallas-interpret' (for CPU testing).
     """
+    from sg2im_tpu.ops.pallas.layout_kernel import (
+        fused_layout_compose,
+        pallas_available,
+    )
+
     W = H if W is None else W
-    return _compose(mask_warp(boxes, masks.astype(vecs.dtype), H, W),
-                    vecs, obj_mask, pooling)
+    masks = masks.astype(vecs.dtype)
+    use_pallas = backend in ("pallas", "pallas-interpret") or (
+        backend == "auto" and pallas_available())
+    if use_pallas:
+        M_h, M_w = masks.shape[-2:]
+        wy, wx = box_warp_weights(boxes, H, W, M_h, M_w)
+        v = vecs if obj_mask is None else (
+            vecs * obj_mask[..., None].astype(vecs.dtype))
+        out = fused_layout_compose(
+            wy, wx, masks, v, backend == "pallas-interpret")
+        return _apply_avg(out, obj_mask, pooling)
+    return _compose(mask_warp(boxes, masks, H, W), vecs, obj_mask, pooling)
+
+
+def _apply_avg(out, obj_mask, pooling: str):
+    if pooling == "sum":
+        return out
+    if pooling != "avg":
+        raise ValueError(f'Invalid pooling "{pooling}"')
+    N, O = (out.shape[0], None)
+    if obj_mask is None:
+        raise ValueError("avg pooling needs obj_mask on the fused path")
+    counts = jnp.maximum(obj_mask.astype(out.dtype).sum(-1), 1.0)
+    return out / counts[:, None, None, None]
 
 
 def boxes_to_layout_flat(vecs, boxes, obj_to_img, H: int, W: int | None = None,

@@ -1,0 +1,142 @@
+"""Fused Pallas layout-compose kernel — the #1 custom TPU kernel.
+
+Computes, in one VMEM-resident pass per (image, row-tile):
+
+    tmp[o]  = Wy[o] @ mask[o]          (TH, M)   MXU
+    warp[o] = tmp[o] @ Wx[o]^T         (TH, W)   MXU
+    out     = warp^T-compose vecs      (TH, W, D) MXU
+
+replacing the XLA path in ``sg2im_tpu.ops.layout`` which materializes the
+(N, O, H, W) warp tensor in HBM between the two stages (~O× the output's
+HBM traffic; for a 32×16×128² batch that's two 128 MB round-trips saved).
+Numerics are identical to the jnp path (same tent-weight formulation of
+torch-0.4 ``F.grid_sample`` align_corners=True/zeros, reference
+``sg2im/layout.py:30-91``) — asserted in tests/test_pallas.py.
+
+Differentiation: the op carries a custom VJP whose backward re-derives
+gradients through the *jnp* implementation (rematerialization — trades the
+saved forward HBM traffic for FLOPs in backward, like ``jax.checkpoint``).
+Box gradients flow through the tent-weight construction which stays outside
+the kernel in jnp.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on some hosts; interpret mode works
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _pick_tile(H: int) -> int:
+    for t in (64, 32, 16, 8):
+        if H % t == 0:
+            return t
+    return H
+
+
+def _compose_kernel(wy_ref, wx_ref, m_ref, v_ref, out_ref):
+    wy = wy_ref[0]      # (O, TH, M)
+    wx = wx_ref[0]      # (O, W, M)
+    mask = m_ref[0]     # (O, M, M)
+    vecs = v_ref[0]     # (O, D)
+    O, TH, M = wy.shape
+    W = wx.shape[1]
+    tmp = jax.lax.dot_general(
+        wy, mask, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # (O, TH, M)
+    warp = jax.lax.dot_general(
+        tmp, wx, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # (O, TH, W)
+    flat = warp.reshape(O, TH * W)
+    out = jax.lax.dot_general(
+        flat, vecs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # (TH*W, D)
+    out_ref[0] = out.reshape(TH, W, vecs.shape[-1])
+
+
+def _pallas_compose(wy, wx, masks, vecs, interpret: bool):
+    N, O, H, M = wy.shape
+    W = wx.shape[2]
+    D = vecs.shape[-1]
+    TH = _pick_tile(H)
+    grid = (N, H // TH)
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    return pl.pallas_call(
+        _compose_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, H, W, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, O, TH, M), lambda n, h: (n, 0, h, 0)),
+            pl.BlockSpec((1, O, W, M), lambda n, h: (n, 0, 0, 0)),
+            pl.BlockSpec((1, O, M, M), lambda n, h: (n, 0, 0, 0)),
+            pl.BlockSpec((1, O, D), lambda n, h: (n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W, D), lambda n, h: (n, h, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * O * (H * M * M + H * W * M + H * W * D),
+            bytes_accessed=4 * N * (O * (H * M + W * M + M * M + D)
+                                    + H * W * D),
+            transcendentals=0,
+        ),
+        **kwargs,
+    )(wy, wx, masks, vecs)
+
+
+def _jnp_compose(wy, wx, masks, vecs):
+    """Reference jnp path (identical math; used for VJP + fallback)."""
+    tmp = jnp.einsum("nohi,noij->nohj", wy, masks, precision="highest")
+    warp = jnp.einsum("nohj,nowj->nohw", tmp, wx, precision="highest")
+    N, O, H, W = warp.shape
+    return jnp.einsum("noP,nod->nPd", warp.reshape(N, O, H * W), vecs,
+                      precision="highest").reshape(N, H, W, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_layout_compose(wy, wx, masks, vecs, interpret=False):
+    """out[n, y, x, d] = sum_o (Wy[n,o] @ masks[n,o] @ Wx[n,o]^T)[y, x]
+    * vecs[n, o, d] — fused on TPU via Pallas.
+
+    Args:
+      wy: (N, O, H, M) row tent weights; wx: (N, O, W, M) column weights;
+      masks: (N, O, M, M); vecs: (N, O, D) (pre-multiplied by obj validity).
+
+    Returns:
+      (N, H, W, D) layout.
+    """
+    return _pallas_compose(wy, wx, masks, vecs, interpret)
+
+
+def _fwd(wy, wx, masks, vecs, interpret=False):
+    return fused_layout_compose(wy, wx, masks, vecs, interpret), \
+        (wy, wx, masks, vecs)
+
+
+def _bwd(interpret, res, g):
+    wy, wx, masks, vecs = res
+    _, vjp = jax.vjp(_jnp_compose, wy, wx, masks, vecs)
+    return vjp(g)
+
+
+fused_layout_compose.defvjp(_fwd, _bwd)
+
+
+def pallas_available() -> bool:
+    """True when the compiled Pallas TPU path should be used."""
+    if os.environ.get("SG2IM_TPU_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"

@@ -1,0 +1,86 @@
+"""Fused Pallas layout kernel: numerics vs the XLA path (interpret mode on
+CPU), gradients through the custom VJP, and generator integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sg2im_tpu.ops.layout import box_warp_weights, masks_to_layout
+from sg2im_tpu.ops.pallas.layout_kernel import (
+    _jnp_compose,
+    fused_layout_compose,
+)
+
+
+def _inputs(N=2, O=4, H=32, W=32, M=8, D=12, seed=0):
+    rng = np.random.RandomState(seed)
+    lo = rng.uniform(-0.1, 0.6, (N, O, 2)).astype(np.float32)
+    sz = rng.uniform(0.1, 0.5, (N, O, 2)).astype(np.float32)
+    boxes = np.concatenate([lo, lo + sz], -1)
+    masks = (rng.rand(N, O, M, M) > 0.4).astype(np.float32)
+    vecs = rng.randn(N, O, D).astype(np.float32)
+    obj_mask = (rng.rand(N, O) < 0.8).astype(np.float32)
+    obj_mask[:, 0] = 1.0
+    return jnp.asarray(vecs), jnp.asarray(boxes), jnp.asarray(masks), \
+        jnp.asarray(obj_mask), H, W
+
+
+def test_fused_kernel_matches_xla():
+    vecs, boxes, masks, obj_mask, H, W = _inputs()
+    want = masks_to_layout(vecs, boxes, masks, obj_mask, H, W, backend="xla")
+    got = masks_to_layout(vecs, boxes, masks, obj_mask, H, W,
+                          backend="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_kernel_odd_height():
+    # H not divisible by the preferred tile exercises _pick_tile fallback.
+    vecs, boxes, masks, obj_mask, _, _ = _inputs()
+    want = masks_to_layout(vecs, boxes, masks, obj_mask, 24, 40,
+                           backend="xla")
+    got = masks_to_layout(vecs, boxes, masks, obj_mask, 24, 40,
+                          backend="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_kernel_gradients():
+    vecs, boxes, masks, obj_mask, H, W = _inputs(N=1, O=3, H=16, W=16, M=4,
+                                                 D=6)
+
+    def loss_pallas(vecs, boxes, masks):
+        out = masks_to_layout(vecs, boxes, masks, obj_mask, H, W,
+                              backend="pallas-interpret")
+        return (out ** 2).sum()
+
+    def loss_xla(vecs, boxes, masks):
+        out = masks_to_layout(vecs, boxes, masks, obj_mask, H, W,
+                              backend="xla")
+        return (out ** 2).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(vecs, boxes, masks)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(vecs, boxes, masks)
+    for a, b, name in zip(gp, gx, ("vecs", "boxes", "masks")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_vjp_matches_numerical():
+    vecs, boxes, masks, obj_mask, H, W = _inputs(N=1, O=2, H=8, W=8, M=4,
+                                                 D=3)
+    wy, wx = box_warp_weights(boxes, H, W, 4, 4)
+
+    def f(vecs):
+        return fused_layout_compose(wy, wx, masks, vecs, True).sum()
+
+    g = jax.grad(f)(vecs)
+    eps = 1e-2
+    v0 = np.asarray(vecs)
+    i = (0, 1, 2)
+    vp = v0.copy()
+    vp[i] += eps
+    vm = v0.copy()
+    vm[i] -= eps
+    num = (float(f(jnp.asarray(vp))) - float(f(jnp.asarray(vm)))) / (2 * eps)
+    assert abs(float(g[i]) - num) < 1e-2
