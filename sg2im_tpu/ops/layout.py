@@ -165,7 +165,7 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
     W = H if W is None else W
     masks = masks.astype(vecs.dtype)
     use_pallas = backend in ("pallas", "pallas-interpret") or (
-        backend == "auto" and pallas_available())
+        backend == "auto" and pallas_available(H, W))
     if use_pallas:
         M_h, M_w = masks.shape[-2:]
         wy, wx = box_warp_weights(boxes, H, W, M_h, M_w)

@@ -135,8 +135,18 @@ def _bwd(interpret, res, g):
 fused_layout_compose.defvjp(_fwd, _bwd)
 
 
-def pallas_available() -> bool:
-    """True when the compiled Pallas TPU path should be used."""
+def pallas_available(H: int | None = None, W: int | None = None) -> bool:
+    """True when the compiled Pallas TPU path should be used.
+
+    Mosaic cannot lower the kernel's (O, TH, W) -> (O, TH*W) collapse unless
+    the minor dim is lane-aligned ("unsupported shape cast" for W=64), so
+    the fused path is gated to W % 128 == 0 — which covers the flagship
+    128x128 models; smaller resolutions use the XLA path.
+    """
     if os.environ.get("SG2IM_TPU_DISABLE_PALLAS"):
+        return False
+    if W is not None and W % 128 != 0:
+        return False
+    if H is not None and H % 8 != 0:
         return False
     return jax.default_backend() == "tpu"
