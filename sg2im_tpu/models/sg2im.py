@@ -97,6 +97,7 @@ class Sg2ImGenerator(nn.Module):
     mask_size: int | None = None
     mlp_normalization: str = "none"
     layout_noise_dim: int = 0
+    compute_dtype: object = None  # bf16 CRN convs when set (perf mode)
 
     @nn.compact
     def __call__(self, objs, triples, obj_mask=None, triple_mask=None,
@@ -218,6 +219,7 @@ class Sg2ImGenerator(nn.Module):
             + tuple(self.refinement_dims),
             normalization=self.normalization,
             activation=self.activation,
+            compute_dtype=self.compute_dtype,
             name="refinement_net",
         )(layout, train=train)
         return imgs, boxes_pred, masks_pred, rel_scores

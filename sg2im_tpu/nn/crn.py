@@ -43,6 +43,7 @@ class RefinementModule(nn.Module):
     output_dim: int
     normalization: str = "instance"
     activation: str = "leakyrelu"
+    compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU-speed convs
 
     @nn.compact
     def __call__(self, layout, feats, train: bool = False):
@@ -66,8 +67,11 @@ class RefinementModule(nn.Module):
                 padding=[(1, 1), (1, 1)],
                 kernel_init=kaiming_normal_init(),
                 bias_init=torch_linear_bias_init(cin * 9),
+                dtype=self.compute_dtype,
                 name=f"layer{idx[conv_key]}",
             )(x)
+            if self.compute_dtype is not None:
+                x = x.astype(jnp.float32)  # norms/activations in f32
             if self.normalization == "batch":
                 x = BatchNorm(self.output_dim, name=f"layer{idx[norm_key]}")(
                     x, train=train
@@ -89,6 +93,7 @@ class RefinementNetwork(nn.Module):
     dims: tuple[int, ...]
     normalization: str = "instance"
     activation: str = "leakyrelu"
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, layout, train: bool = False):
@@ -98,6 +103,17 @@ class RefinementNetwork(nn.Module):
         n_mods = len(self.dims) - 1
         h0, w0 = H >> n_mods, W >> n_mods
         assert h0 > 0 and w0 > 0, "Too many refinement modules for image size"
+
+        # Layout pyramid: the reference avg-pools the full-res layout down
+        # to each stage's resolution independently (``crn.py:59-62``).
+        # Successive factor-2 pooling is mathematically identical (averages
+        # of equal-size blocks compose exactly) and reads each level once
+        # instead of re-reading the full-res layout per stage — ~4x less
+        # HBM traffic for the pooling chain.
+        pyramid = [layout]
+        for _ in range(n_mods - 1):
+            pyramid.append(avg_pool_2d(pyramid[-1], 2))
+        pyramid = pyramid[::-1]  # lowest resolution first
 
         feats = jnp.zeros((N, h0, w0, 1), dtype=layout.dtype)
         for i in range(1, len(self.dims)):
@@ -109,15 +125,19 @@ class RefinementNetwork(nn.Module):
                 self.dims[i],
                 normalization=self.normalization,
                 activation=self.activation,
+                compute_dtype=self.compute_dtype,
                 name=f"refinement_modules_{i - 1}",
-            )(layout, feats, train=train)
+            )(pyramid[i - 1], feats, train=train)
 
         x = nn.Conv(
             self.dims[-1], (3, 3), padding=[(1, 1), (1, 1)],
             kernel_init=kaiming_normal_init(),
             bias_init=torch_linear_bias_init(self.dims[-1] * 9),
+            dtype=self.compute_dtype,
             name="output_conv_0",
         )(feats)
+        if self.compute_dtype is not None:
+            x = x.astype(jnp.float32)
         x = apply_activation(act, x)
         x = nn.Conv(
             3, (1, 1), padding="VALID",

@@ -136,13 +136,24 @@ fused_layout_compose.defvjp(_fwd, _bwd)
 
 
 def pallas_available(H: int | None = None, W: int | None = None) -> bool:
-    """True when the compiled Pallas TPU path should be used.
+    """True when the compiled Pallas TPU path should be used under 'auto'.
 
-    Mosaic cannot lower the kernel's (O, TH, W) -> (O, TH*W) collapse unless
-    the minor dim is lane-aligned ("unsupported shape cast" for W=64), so
-    the fused path is gated to W % 128 == 0 — which covers the flagship
-    128x128 models; smaller resolutions use the XLA path.
+    Two gates, both measured on real v5e hardware:
+
+    1. Mosaic cannot lower the kernel's (O, TH, W) -> (O, TH*W) collapse
+       unless the minor dim is lane-aligned ("unsupported shape cast" for
+       W=64), so the fused path requires W % 128 == 0.
+    2. Standalone the kernel beats the XLA path (~1.34 vs ~1.52 ms at
+       32x16x128²) — but inside the full generator the pallas_call is an
+       opaque fusion boundary and the end-to-end model is ~13% slower
+       (18.7 vs 16.5 ms/batch).  XLA fuses the compose into its neighbors;
+       the kernel can't.  'auto' therefore resolves to the XLA path; set
+       SG2IM_TPU_FORCE_PALLAS=1 (or backend='pallas') to opt in, e.g. for
+       future shapes where the warp intermediate no longer fits HBM
+       comfortably.
     """
+    if not os.environ.get("SG2IM_TPU_FORCE_PALLAS"):
+        return False
     if os.environ.get("SG2IM_TPU_DISABLE_PALLAS"):
         return False
     if W is not None and W % 128 != 0:

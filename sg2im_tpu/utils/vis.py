@@ -85,6 +85,69 @@ def draw_scene_graph(objs, triples, vocab=None, output_filename=None,
     return img
 
 
+def draw_layout(vocab, objs, boxes, masks=None, size=256, show_boxes=False,
+                bgcolor=(0, 0, 0)):
+    """Matplotlib layout rendering (reference ``sg2im/vis.py:30-77``):
+    rainbow-colored soft masks placed in their boxes over a solid
+    background; ``__image__`` nodes skipped.  Draws into the current pyplot
+    axes (use ``plt.savefig``/``plt.gcf()`` to capture)."""
+    import matplotlib.pyplot as plt
+
+    if bgcolor == "white":
+        bgcolor = (255, 255, 255)
+    objs = np.asarray(objs)
+    boxes = np.asarray(boxes, np.float64) * size
+    cmap = plt.get_cmap("rainbow")
+    colors = cmap(np.linspace(0, 1, len(objs)))
+
+    bg = np.ones((size, size, 1)) * np.asarray(bgcolor)
+    plt.imshow(bg.astype(np.uint8))
+    plt.gca().set_xlim(0, size)
+    plt.gca().set_ylim(size, 0)
+    plt.gca().set_aspect(1.0, adjustable="box")
+
+    for i, obj in enumerate(objs):
+        name = vocab["object_idx_to_name"][int(obj)]
+        if name == "__image__":
+            continue
+        if masks is None:
+            continue
+        mask = np.asarray(masks[i], np.float64)
+        mask = mask / max(mask.max(), 1e-8)
+        colored = mask[:, :, None] * np.asarray(colors[i])
+        x0, y0, x1, y1 = boxes[i]
+        plt.imshow(colored, extent=(x0, x1, y1, y0),
+                   interpolation="bicubic", alpha=1.0)
+
+    if show_boxes:
+        for i, obj in enumerate(objs):
+            name = vocab["object_idx_to_name"][int(obj)]
+            if name == "__image__":
+                continue
+            draw_box(boxes[i], colors[i], name)
+
+
+def draw_box(box, color, text=None):
+    """Draw one bounding box (+label) with pyplot
+    (reference ``sg2im/vis.py:80-107``)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    TEXT_BOX_HEIGHT = 10
+    x0, y0, x1, y1 = np.asarray(box).reshape(-1)
+    assert y1 > y0 and x1 > x0, box
+    w, h = x1 - x0, y1 - y0
+    rect = Rectangle((x0, y0), w, h, fc="none", lw=2, ec=color)
+    plt.gca().add_patch(rect)
+    if text is not None:
+        text_rect = Rectangle((x0, y0), w, TEXT_BOX_HEIGHT, fc=color,
+                              alpha=0.5)
+        plt.gca().add_patch(text_rect)
+        tx = 0.5 * (x0 + x1)
+        ty = y0 + TEXT_BOX_HEIGHT / 2.0
+        plt.text(tx, ty, text, va="center", ha="center")
+
+
 def draw_layout_array(boxes, obj_names, H=256, W=256):
     """Simple rasterized layout preview (box outlines burned into an array).
 
