@@ -21,6 +21,25 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first run pays the 2-4 min compile,
+    subsequent runs (incl. the driver's bench invocation) start hot."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def flagship_setup(batch: int = 32):
     import jax
     import jax.numpy as jnp
@@ -71,8 +90,6 @@ def flagship_setup(batch: int = 32):
 
 def train_step_setup(batch: int = 32):
     """Flagship COCO-64 GAN train step (same config as the CPU baseline)."""
-    import numpy as np
-
     from sg2im_tpu.train.config import TrainConfig
     from sg2im_tpu.train.trainer import Trainer
 

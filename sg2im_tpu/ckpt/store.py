@@ -5,9 +5,11 @@ TPU equivalent of the reference's monolithic ``torch.save`` dict
 three optimizers + counters + RNG) round-trips, enabling preemption resume
 (reference ``--restore_from_checkpoint``, ``train.py:446-471``).
 
-Uses Orbax (the TPU-native multi-host checkpointing library) when available,
-with a flax-msgpack fallback; both produce the same on-disk directory layout:
-``<path>/state`` (weights) + ``<path>/meta.json`` (config/vocab/histories).
+Backends: Orbax (the TPU-native multi-host checkpointing library; opt-in
+via ``backend='orbax'`` or SG2IM_TPU_CKPT=orbax) or flax-msgpack (default —
+single-file, dependency-light).  Both live under the same directory layout:
+``<path>/state.msgpack`` or ``<path>/state_orbax/`` plus ``<path>/meta.json``
+(config/vocab/histories); ``load_checkpoint`` auto-detects which is present.
 """
 
 from __future__ import annotations
@@ -35,13 +37,29 @@ def _meta_default(o):
     raise TypeError(f"not JSON serializable: {type(o)}")
 
 
-def save_checkpoint(path: str, state, config=None, vocab=None, extra=None):
+def _default_backend() -> str:
+    return os.environ.get("SG2IM_TPU_CKPT", "msgpack")
+
+
+def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
+                    backend: str | None = None):
+    backend = backend or _default_backend()
     os.makedirs(path, exist_ok=True)
     state = jax.tree.map(np.asarray, jax.device_get(state))
-    from flax import serialization
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
 
-    with open(os.path.join(path, "state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(state))
+        ckptr = ocp.StandardCheckpointer()
+        target = os.path.join(os.path.abspath(path), "state_orbax")
+        # StandardCheckpointer rejects scalar leaves; lift to 0-d arrays.
+        arr_state = jax.tree.map(np.asarray, state)
+        ckptr.save(target, arr_state, force=True)
+        ckptr.wait_until_finished()
+    else:
+        from flax import serialization
+
+        with open(os.path.join(path, "state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(state))
     meta = {"config": config, "vocab": vocab, "extra": extra}
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, default=_meta_default)
@@ -49,11 +67,28 @@ def save_checkpoint(path: str, state, config=None, vocab=None, extra=None):
 
 def load_checkpoint(path: str, template):
     """Restore a state saved by ``save_checkpoint``; ``template`` supplies
-    the pytree structure (an initialized TrainState)."""
-    from flax import serialization
+    the pytree structure (an initialized TrainState).  Auto-detects the
+    backend from what is on disk."""
+    orbax_path = os.path.join(os.path.abspath(path), "state_orbax")
+    msgpack_path = os.path.join(path, "state.msgpack")
+    if os.path.exists(orbax_path):
+        import orbax.checkpoint as ocp
 
-    with open(os.path.join(path, "state.msgpack"), "rb") as f:
-        state = serialization.from_bytes(template, f.read())
+        ckptr = ocp.StandardCheckpointer()
+        arr_template = jax.tree.map(
+            np.asarray, jax.device_get(template))
+        state = ckptr.restore(orbax_path, arr_template)
+        # Restore original leaf types (TrainState is a flax struct; leaves
+        # come back as numpy arrays which jit happily consumes).
+        state = jax.tree.map(lambda t, a: np.asarray(a, np.asarray(t).dtype),
+                             arr_template, state)
+        state = jax.tree.unflatten(jax.tree.structure(template),
+                                   jax.tree.leaves(state))
+    else:
+        from flax import serialization
+
+        with open(msgpack_path, "rb") as f:
+            state = serialization.from_bytes(template, f.read())
     meta = {}
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):

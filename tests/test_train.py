@@ -107,6 +107,26 @@ def test_train_smoke_and_determinism(tmp_path):
                                float(m_res["total_loss"]), rtol=1e-6)
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from sg2im_tpu.ckpt.store import load_checkpoint, save_checkpoint
+
+    config = TrainConfig(**TINY)
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=3)
+    rng = np.random.RandomState(4)
+    state, _ = trainer.step(state, _rand_batch(rng, config))
+
+    path = os.path.join(tmp_path, "ockpt")
+    save_checkpoint(path, state, backend="orbax")
+    assert os.path.isdir(os.path.join(path, "state_orbax"))
+    restored, _ = load_checkpoint(path, trainer.init_state(seed=0))
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Restored state steps normally.
+    s2, m = trainer.step(restored, _rand_batch(rng, config))
+    assert np.isfinite(float(m["total_loss"]))
+
+
 def test_nan_guard_skips_update():
     config = TrainConfig(**TINY)
     trainer = Trainer(config, VOCAB)
