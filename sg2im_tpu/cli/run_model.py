@@ -46,6 +46,9 @@ def main(args=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     from sg2im_tpu.inference import InferenceEngine
+    from sg2im_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     engine = InferenceEngine.from_torch_checkpoint(args.checkpoint)
 

@@ -89,6 +89,9 @@ def _build_dataset(args, ckpt_args, vocab):
 
 def run_checkpoint(args, checkpoint_path):
     import jax
+    from sg2im_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from sg2im_tpu.data.loader import PaddedLoader
     from sg2im_tpu.data.transforms import imagenet_deprocess_batch

@@ -186,6 +186,9 @@ def main(argv=None):
     check_args(config)
 
     from sg2im_tpu.data.loader import PaddedLoader
+    from sg2im_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from sg2im_tpu.train.trainer import Trainer
     from sg2im_tpu.utils.timing import profile_trace, timeit
 

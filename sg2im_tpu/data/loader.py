@@ -80,7 +80,11 @@ class PaddedLoader:
 
     def __init__(self, dataset, batch_size: int, O_max: int, T_max: int,
                  shuffle: bool = True, num_workers: int = 4,
-                 prefetch: int = 4, seed: int = 0, drop_last: bool = True):
+                 prefetch: int = 4, seed: int = 0, drop_last: bool = True,
+                 shard: tuple[int, int] | None = None):
+        """``shard=(host_index, host_count)`` gives each host a disjoint
+        1/host_count slice of every epoch's permutation — the multi-host
+        data-parallel contract (all hosts share the shuffle seed)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.O_max = O_max
@@ -90,10 +94,20 @@ class PaddedLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        self.shard = shard
         self._epoch = 0
+
+    def _shard_slice(self, idx):
+        if self.shard is None:
+            return idx
+        k, count = self.shard
+        per = len(idx) // count
+        return idx[k * per:(k + 1) * per]
 
     def __len__(self):
         n = len(self.dataset)
+        if self.shard is not None:
+            n = n // self.shard[1]
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -104,6 +118,8 @@ class PaddedLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self._epoch)
             rng.shuffle(idx)
+        idx = self._shard_slice(idx)
+        n = len(idx)
         end = (n - n % self.batch_size) if self.drop_last else n
         for i in range(0, end, self.batch_size):
             yield idx[i:i + self.batch_size]

@@ -330,3 +330,23 @@ def test_collate_truncation():
     np.testing.assert_array_equal(out["objs"][0], [1, 2, 3, 0])
     kept = out["triples"][0][out["triple_mask"][0].astype(bool)]
     np.testing.assert_array_equal(kept, [[0, 1, 1], [0, 0, 3]])
+
+
+def test_loader_sharding(tmp_path):
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    ds = CocoSceneGraphDataset(
+        image_dir=img_dir, instances_json=inst_path, stuff_json=stuff_path,
+        image_size=(16, 16), mask_size=8, seed=0)
+    full = PaddedLoader(ds, batch_size=1, O_max=8, T_max=12,
+                        num_workers=1, seed=0, shuffle=True)
+    shards = [PaddedLoader(ds, batch_size=1, O_max=8, T_max=12,
+                           num_workers=1, seed=0, shuffle=True,
+                           shard=(k, 2)) for k in range(2)]
+    all_imgs = np.concatenate([b["imgs"] for b in full])
+    shard_imgs = np.concatenate(
+        [b["imgs"] for loader in shards for b in loader])
+    # Disjoint cover: every sample appears exactly once across shards.
+    assert shard_imgs.shape == all_imgs.shape
+    sums_full = sorted(np.abs(all_imgs).sum(axis=(1, 2, 3)).tolist())
+    sums_shard = sorted(np.abs(shard_imgs).sum(axis=(1, 2, 3)).tolist())
+    np.testing.assert_allclose(sums_shard, sums_full, rtol=1e-6)
