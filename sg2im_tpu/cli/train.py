@@ -185,7 +185,7 @@ def main(argv=None):
     config = config_from_args(args)
     check_args(config)
 
-    from sg2im_tpu.data.loader import PaddedLoader
+    from sg2im_tpu.data.loader import PaddedLoader, prefetch_to_device
     from sg2im_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -223,7 +223,9 @@ def main(argv=None):
     switched = t >= config.eval_mode_after
     with profile_trace(args.profile_dir):
         while t < config.num_iterations:
-            for batch in train_loader:
+            train_iter = (iter(train_loader) if trainer.mesh is not None
+                          else prefetch_to_device(iter(train_loader)))
+            for batch in train_iter:
                 if t >= config.num_iterations:
                     break
                 if not switched and t >= config.eval_mode_after:
@@ -232,7 +234,7 @@ def main(argv=None):
                     switched = True
                 with timeit("step", config.timing):
                     state, metrics = trainer.step(state, batch)
-                t = int(state.step)
+                t += 1
 
                 if t % config.print_every == 0:
                     print(f"t = {t} / {config.num_iterations}")

