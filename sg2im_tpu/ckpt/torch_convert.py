@@ -244,3 +244,105 @@ def convert_checkpoint(ckpt_or_path):
         out["d_img"] = convert_patch_discriminator_state(ckpt["d_img_state"])
         out["d_img_kwargs"] = dict(ckpt.get("d_img_kwargs") or {})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: flax variables -> reference torch state_dict.
+# ---------------------------------------------------------------------------
+
+def _flatten_tree(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _flax_path_to_torch(path):
+    """Invert the layer{i} naming back to torch dotted names."""
+    parts = []
+    for p in path:
+        if p.startswith("layer"):
+            parts.append(p[len("layer"):])
+        elif p.startswith("gconvs_"):
+            parts.extend(["gconvs", p.split("_")[1]])
+        elif p.startswith("refinement_modules_"):
+            parts.extend(["refinement_modules", p.rsplit("_", 1)[1], "net"])
+        elif p.startswith("output_conv_"):
+            parts.extend(["output_conv", p.rsplit("_", 1)[1]])
+        elif p == "cnn_0":
+            parts.extend(["cnn", "0"])
+        elif p == "cnn_2":
+            parts.extend(["cnn", "2"])
+        elif p == "bn":
+            continue  # our BatchNorm wrapper level; torch has none
+        else:
+            parts.append(p)
+    return parts
+
+
+def convert_variables_to_torch_state(variables):
+    """Flax {'params', 'batch_stats'} -> reference torch state_dict
+    (inverse of convert_*_state; Linear/Conv layouts transposed back).
+
+    Produces CPU float32 torch tensors keyed exactly as the reference
+    modules expect, so ``load_state_dict`` round-trips.
+    """
+    import torch
+
+    state = {}
+    params = _flatten_tree(variables.get("params", {}))
+    stats = _flatten_tree(variables.get("batch_stats", {}))
+
+    for path, arr in params.items():
+        arr = np.asarray(arr, np.float32)
+        leaf = path[-1]
+        torch_parts = _flax_path_to_torch(path[:-1])
+        base = ".".join(torch_parts)
+        is_bn = "bn" in path
+        if leaf == "embedding":
+            state[f"{base}.weight"] = torch.from_numpy(arr.copy())
+        elif leaf == "kernel":
+            if arr.ndim == 4:  # HWIO -> OIHW
+                state[f"{base}.weight"] = torch.from_numpy(
+                    np.transpose(arr, (3, 2, 0, 1)).copy())
+            else:
+                state[f"{base}.weight"] = torch.from_numpy(arr.T.copy())
+        elif leaf == "scale":
+            state[f"{base}.weight"] = torch.from_numpy(arr.copy())
+        elif leaf == "bias":
+            state[f"{base}.bias"] = torch.from_numpy(arr.copy())
+        else:
+            raise ValueError(f"unknown param leaf {leaf} at {path}")
+        del is_bn
+    for path, arr in stats.items():
+        arr = np.asarray(arr, np.float32)
+        leaf = path[-1]
+        base = ".".join(_flax_path_to_torch(path[:-1]))
+        if leaf == "mean":
+            state[f"{base}.running_mean"] = __import__("torch").from_numpy(
+                arr.copy())
+        elif leaf == "var":
+            state[f"{base}.running_var"] = __import__("torch").from_numpy(
+                arr.copy())
+        else:
+            raise ValueError(f"unknown stat leaf {leaf} at {path}")
+    return state
+
+
+def export_torch_checkpoint(path, generator_variables, model_kwargs, vocab,
+                            args=None):
+    """Write a reference-layout ``.pt`` checkpoint loadable by the upstream
+    ``Sg2ImModel(**model_kwargs).load_state_dict(model_state)`` pattern
+    (``scripts/run_model.py:56-58``)."""
+    import torch
+
+    ckpt = {
+        "model_state": convert_variables_to_torch_state(generator_variables),
+        "model_kwargs": dict(model_kwargs, vocab=vocab),
+        "args": dict(args or {}),
+    }
+    torch.save(ckpt, path)
+    return path

@@ -8,6 +8,8 @@ Usage:
     python -m sg2im_tpu.cli.checkpoint_tools print_args CKPT
     python -m sg2im_tpu.cli.checkpoint_tools strip IN.pt OUT.pt \
         [--keep_discriminators 1]
+    python -m sg2im_tpu.cli.checkpoint_tools clean IN.pt OUT.pt
+    python -m sg2im_tpu.cli.checkpoint_tools export NATIVE_CKPT_DIR OUT.pt
 """
 
 from __future__ import annotations
@@ -56,6 +58,50 @@ def strip(in_path: str, out_path: str, keep_discriminators: bool = True):
     return 0
 
 
+def clean(in_path: str, out_path: str):
+    """Remove deprecated model kwargs from a .pt checkpoint (reference
+    ``scripts/strip_old_args.py:31-35``)."""
+    import torch
+
+    from sg2im_tpu.ckpt.torch_convert import DEPRECATED_MODEL_KWARGS
+
+    ckpt = _load_any(in_path)
+    kw = dict(ckpt.get("model_kwargs") or {})
+    removed = [k for k in DEPRECATED_MODEL_KWARGS if kw.pop(k, None)
+               is not None or k in (ckpt.get("model_kwargs") or {})]
+    ckpt["model_kwargs"] = kw
+    torch.save(ckpt, out_path)
+    print(f"Wrote {out_path} (removed deprecated kwargs: {removed})")
+    return 0
+
+
+def export(native_dir: str, out_path: str):
+    """Export a native training checkpoint's generator back to a
+    reference-layout .pt (loadable by the upstream Sg2ImModel)."""
+    from sg2im_tpu.ckpt.store import load_checkpoint
+    from sg2im_tpu.ckpt.torch_convert import export_torch_checkpoint
+    from sg2im_tpu.train.config import TrainConfig
+    from sg2im_tpu.train.trainer import Trainer
+
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(native_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    cfg_dict = meta.get("config") or {}
+    vocab = meta.get("vocab")
+    fields = {f2.name for f2 in __import__("dataclasses").fields(TrainConfig)}
+    config = TrainConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                            for k, v in cfg_dict.items() if k in fields})
+    trainer = Trainer(config, vocab)
+    state, _ = trainer.load_checkpoint(native_dir)
+    export_torch_checkpoint(out_path, state.g_vars,
+                            config.generator_kwargs(), vocab,
+                            args=cfg_dict)
+    print(f"Exported generator to {out_path}")
+    return 0
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     p = argparse.ArgumentParser(description=__doc__)
@@ -66,9 +112,19 @@ def main(argv=None):
     ps.add_argument("input_checkpoint")
     ps.add_argument("output_checkpoint")
     ps.add_argument("--keep_discriminators", type=int, default=1)
+    pc = sub.add_parser("clean")
+    pc.add_argument("input_checkpoint")
+    pc.add_argument("output_checkpoint")
+    pe = sub.add_parser("export")
+    pe.add_argument("native_dir")
+    pe.add_argument("output_checkpoint")
     args = p.parse_args(argv)
     if args.cmd == "print_args":
         return print_args(args.checkpoint)
+    if args.cmd == "clean":
+        return clean(args.input_checkpoint, args.output_checkpoint)
+    if args.cmd == "export":
+        return export(args.native_dir, args.output_checkpoint)
     return strip(args.input_checkpoint, args.output_checkpoint,
                  bool(args.keep_discriminators))
 

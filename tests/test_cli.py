@@ -107,3 +107,41 @@ def test_sample_images_cli(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out_dir, "gt_img", "img000000.png"))
     data = np.load(os.path.join(out_dir, "data.npz"))
     assert data["boxes_pred"].shape[0] >= 4
+
+
+def test_export_native_to_torch(tmp_path, monkeypatch):
+    """Native train checkpoint -> reference .pt -> loads in upstream model."""
+    import torch.nn.functional as F
+
+    orig = F.grid_sample
+    monkeypatch.setattr(F, "grid_sample",
+                        lambda i, g, **kw: orig(i, g, align_corners=True))
+
+    from sg2im_tpu.cli.train import main as train_main
+
+    out_dir = os.path.join(tmp_path, "run")
+    os.makedirs(out_dir)
+    flags = _coco_flags(tmp_path) + [
+        "--num_iterations", "2", "--output_dir", out_dir]
+    assert train_main(flags) == 0
+
+    from sg2im_tpu.cli.checkpoint_tools import main as tools_main
+
+    pt_path = os.path.join(tmp_path, "exported.pt")
+    assert tools_main(["export", os.path.join(out_dir, "checkpoint_state"),
+                       pt_path]) == 0
+
+    from sg2im.model import Sg2ImModel
+
+    ckpt = torch.load(pt_path, weights_only=False)
+    model = Sg2ImModel(**ckpt["model_kwargs"])
+    missing, unexpected = model.load_state_dict(ckpt["model_state"],
+                                                strict=False)
+    assert not unexpected, unexpected
+    assert all(k.endswith("num_batches_tracked") for k in missing), missing
+    model.eval()
+    with torch.no_grad():
+        img, *_ = model(torch.tensor([1, 2, 0]),
+                        torch.tensor([[0, 1, 1], [0, 0, 2], [1, 0, 2]]),
+                        torch.zeros(3, dtype=torch.long))
+    assert img.shape[-2:] == (16, 16)

@@ -292,3 +292,34 @@ def test_init_tree_matches_converted_tree():
     shapes_w = jax.tree.map(lambda a: a.shape, variables["params"])
     shapes_g = jax.tree.map(lambda a: np.asarray(a).shape, converted["params"])
     assert shapes_w == shapes_g
+
+
+def test_torch_roundtrip_export():
+    """torch -> flax -> torch: state_dicts must round-trip exactly, and the
+    re-imported reference model must produce identical outputs."""
+    from sg2im_tpu.ckpt.torch_convert import (
+        convert_variables_to_torch_state,
+    )
+
+    ref, kw = _build_reference_generator()
+    variables = convert_generator_state(ref.state_dict())
+    back = convert_variables_to_torch_state(variables)
+
+    orig = ref.state_dict()
+    missing = set(orig) - set(back) - {
+        k for k in orig if k.endswith("num_batches_tracked")}
+    assert not missing, f"missing keys: {sorted(missing)[:5]}"
+    for k, v in back.items():
+        np.testing.assert_array_equal(v.numpy(), orig[k].numpy(), err_msg=k)
+
+    # Load into a fresh reference model and compare outputs.
+    from sg2im.model import Sg2ImModel
+
+    torch.manual_seed(123)
+    fresh = Sg2ImModel(vocab=VOCAB, **kw)
+    fresh.load_state_dict(back, strict=False)
+    fresh.eval()
+    _randomize_bn_stats_noop = None
+    want = _run_reference_generator(ref, boxes_gt=FLAT_BOXES)[0]
+    got = _run_reference_generator(fresh, boxes_gt=FLAT_BOXES)[0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
