@@ -78,6 +78,15 @@ def clean(in_path: str, out_path: str):
 def export(native_dir: str, out_path: str):
     """Export a native training checkpoint's generator back to a
     reference-layout .pt (loadable by the upstream Sg2ImModel)."""
+    # Host-side tool: pin jax to CPU so the template init doesn't trigger a
+    # multi-minute TPU compile (no device compute is needed here).
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
     from sg2im_tpu.ckpt.store import load_checkpoint
     from sg2im_tpu.ckpt.torch_convert import export_torch_checkpoint
     from sg2im_tpu.train.config import TrainConfig
