@@ -22,6 +22,12 @@ from sg2im_tpu.data.transforms import imagenet_deprocess_batch
 from sg2im_tpu.models import Sg2ImGenerator
 
 
+def _pad_rows(arr, n: int):
+    out = np.zeros((n,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
 class InferenceEngine:
     """Holds a generator + converted variables and serves generation calls."""
 
@@ -87,7 +93,10 @@ class InferenceEngine:
             elif isinstance(noise, str) and noise == "zeros":
                 noise_arr = jnp.zeros((N, H, W, noise_dim), jnp.float32)
             else:
-                noise_arr = jnp.asarray(noise, jnp.float32)
+                noise_np = np.asarray(noise, np.float32)
+                if noise_np.shape[0] < N:  # batch was bucket-padded
+                    noise_np = _pad_rows(noise_np, N)
+                noise_arr = jnp.asarray(noise_np)
 
         imgs, boxes, masks, rel_scores = self._fwd(
             self.variables,
@@ -103,11 +112,26 @@ class InferenceEngine:
         """JSON scene graph(s) -> images (uint8 NHWC if deprocess).
 
         Mirrors reference ``forward_json`` + ``imagenet_deprocess_batch``
-        (``scripts/run_model.py:67-69``).
+        (``scripts/run_model.py:67-69``).  The batch dimension is padded to
+        power-of-two buckets (serving-friendly: any graph count from 1 to
+        the bucket ceiling reuses one compiled program); padded rows are
+        dropped from the returned arrays.
         """
+        if isinstance(scene_graphs, dict):
+            scene_graphs = [scene_graphs]
+        n_real = len(scene_graphs)
         batch = encode_scene_graphs(scene_graphs, self.vocab,
                                     align=self.pad_align)
+        n_pad = max(1, 1 << (n_real - 1).bit_length()) if n_real else 1
+        if n_pad > n_real:
+            batch = batch.replace(
+                objs=_pad_rows(batch.objs, n_pad),
+                triples=_pad_rows(batch.triples, n_pad),
+                obj_mask=_pad_rows(batch.obj_mask, n_pad),
+                triple_mask=_pad_rows(batch.triple_mask, n_pad),
+            )
         out = self.generate_batch(batch, noise=noise, seed=seed)
+        out = {k: (None if v is None else v[:n_real]) for k, v in out.items()}
         imgs = np.asarray(out["imgs"])
         if deprocess:
             imgs = imagenet_deprocess_batch(imgs)

@@ -139,3 +139,18 @@ def test_run_model_cli(tmp_path, torch04_semantics):
 
     img = np.asarray(Image.open(os.path.join(out_dir, "img000000.png")))
     assert img.shape == (32, 32, 3)
+
+
+def test_engine_batch_bucketing(tmp_path, torch04_semantics):
+    """Different graph counts within a bucket share one compiled program
+    and per-graph outputs are unaffected by bucket padding."""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    engine = InferenceEngine.from_torch_checkpoint(ckpt_path)
+
+    imgs3, out3 = engine.generate(
+        SCENE_GRAPHS + [SCENE_GRAPHS[0]], noise="zeros")
+    imgs1, out1 = engine.generate(SCENE_GRAPHS[0], noise="zeros")
+    assert imgs3.shape[0] == 3 and imgs1.shape[0] == 1
+    # Graph 0 produces the same image regardless of batch company.
+    np.testing.assert_allclose(np.asarray(out1["imgs"][0]),
+                               np.asarray(out3["imgs"][0]), atol=1e-5)
