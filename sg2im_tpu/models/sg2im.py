@@ -156,7 +156,8 @@ class Sg2ImGenerator(nn.Module):
                 pooling=self.gconv_pooling,
                 mlp_normalization=self.mlp_normalization,
                 name="gconv",
-            )(obj_vecs, pred_vecs, edges, triple_mask, train=train)
+            )(obj_vecs, pred_vecs, edges, triple_mask, train=train,
+              obj_mask=obj_mask)
         if self.gconv_num_layers > 1:
             obj_vecs, pred_vecs = GraphTripleConvNet(
                 input_dim=self.gconv_dim,
@@ -165,11 +166,13 @@ class Sg2ImGenerator(nn.Module):
                 num_layers=self.gconv_num_layers - 1,
                 mlp_normalization=self.mlp_normalization,
                 name="gconv_net",
-            )(obj_vecs, pred_vecs, edges, triple_mask, train=train)
+            )(obj_vecs, pred_vecs, edges, triple_mask, train=train,
+              obj_mask=obj_mask)
 
         boxes_pred = MLP(
-            (self.gconv_dim, self.gconv_hidden_dim, 4), name="box_net"
-        )(obj_vecs, train=train)
+            (self.gconv_dim, self.gconv_hidden_dim, 4),
+            batch_norm=self.mlp_normalization, name="box_net"
+        )(obj_vecs, train=train, mask=obj_mask)
 
         masks_pred = None
         if self.mask_size is not None and self.mask_size > 0:
@@ -192,8 +195,8 @@ class Sg2ImGenerator(nn.Module):
                                      axis=-1)
         rel_scores = MLP(
             (2 * self.embedding_dim + 8, self.gconv_hidden_dim, num_preds),
-            name="rel_aux_net",
-        )(rel_aux_in, train=train)
+            batch_norm=self.mlp_normalization, name="rel_aux_net",
+        )(rel_aux_in, train=train, mask=triple_mask)
 
         H, W = self.image_size
         layout_boxes = boxes_pred if boxes_gt is None else boxes_gt

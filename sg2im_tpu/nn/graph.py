@@ -76,12 +76,14 @@ class GraphTripleConv(nn.Module):
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, triple_mask=None,
-                 train: bool = False):
+                 train: bool = False, obj_mask=None):
         """
         Args:
           obj_vecs: (..., O, Din); pred_vecs: (..., T, Din);
           edges: (..., T, 2) within-image subject/object slot indices;
           triple_mask: (..., T) or None.
+          obj_mask: (..., O) or None — only used to mask net2's BatchNorm
+            statistics under mlp_normalization='batch'.
 
         Returns:
           (new_obj_vecs (..., O, Dout), new_pred_vecs (..., T, Dout)).
@@ -101,7 +103,7 @@ class GraphTripleConv(nn.Module):
             batch_norm=self.mlp_normalization,
             kernel_init_name="kaiming_normal",
             name="net1",
-        )(cur_t, train=train)
+        )(cur_t, train=train, mask=triple_mask)
 
         new_s = new_t[..., :H]
         new_p = new_t[..., H:H + Dout]
@@ -114,7 +116,7 @@ class GraphTripleConv(nn.Module):
             batch_norm=self.mlp_normalization,
             kernel_init_name="kaiming_normal",
             name="net2",
-        )(pooled, train=train)
+        )(pooled, train=train, mask=obj_mask)
         return new_obj, new_p
 
 
@@ -129,7 +131,7 @@ class GraphTripleConvNet(nn.Module):
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, triple_mask=None,
-                 train: bool = False):
+                 train: bool = False, obj_mask=None):
         for i in range(self.num_layers):
             obj_vecs, pred_vecs = GraphTripleConv(
                 input_dim=self.input_dim,
@@ -137,5 +139,6 @@ class GraphTripleConvNet(nn.Module):
                 pooling=self.pooling,
                 mlp_normalization=self.mlp_normalization,
                 name=f"gconvs_{i}",
-            )(obj_vecs, pred_vecs, edges, triple_mask, train=train)
+            )(obj_vecs, pred_vecs, edges, triple_mask, train=train,
+              obj_mask=obj_mask)
         return obj_vecs, pred_vecs

@@ -213,7 +213,9 @@ class MLP(nn.Module):
     kernel_init_name: str = "torch_linear"  # or 'kaiming_normal'
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        # ``mask`` (leading-axes validity) keeps padded graph rows out of
+        # train-mode BatchNorm statistics (mlp_normalization='batch').
         # build_mlp checks the activation string directly
         # (``sg2im/layers.py:226-229``): 'relu' is a true ReLU here, unlike
         # the CNN/CRN paths (see parse_activation quirk note).
@@ -239,7 +241,7 @@ class MLP(nn.Module):
                 )(x)
             elif spec.kind == "bn":
                 x = BatchNorm(spec.dout, name=f"layer{spec.torch_idx}")(
-                    x, train=train
+                    x, train=train, mask=mask
                 )
             elif spec.kind == "act":
                 x = apply_activation(act, x)

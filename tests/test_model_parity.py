@@ -162,6 +162,7 @@ def _scatter_per_image(flat, O_max=5):
     {"gconv_num_layers": 1},
     {"gconv_num_layers": 0},
     {"gconv_pooling": "sum"},
+    {"mlp_normalization": "batch"},
 ])
 def test_generator_parity(overrides):
     ref, kw = _build_reference_generator(**overrides)
