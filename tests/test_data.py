@@ -350,3 +350,17 @@ def test_loader_sharding(tmp_path):
     sums_full = sorted(np.abs(all_imgs).sum(axis=(1, 2, 3)).tolist())
     sums_shard = sorted(np.abs(shard_imgs).sum(axis=(1, 2, 3)).tolist())
     np.testing.assert_allclose(sums_shard, sums_full, rtol=1e-6)
+
+
+def test_coco_no_relationships(tmp_path):
+    """include_relationships=False -> only __in_image__ triples (the
+    no_relations ablation's data path, reference coco.py:323)."""
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    ds = CocoSceneGraphDataset(
+        image_dir=img_dir, instances_json=inst_path, stuff_json=stuff_path,
+        image_size=(16, 16), mask_size=8, include_relationships=False,
+        seed=0)
+    s = ds[0]
+    in_image = ds.vocab["pred_name_to_idx"]["__in_image__"]
+    assert (s["triples"][:, 1] == in_image).all()
+    assert len(s["triples"]) == len(s["objs"]) - 1
