@@ -137,7 +137,8 @@ def run_checkpoint(args, checkpoint_path):
 
     rng = jax.random.PRNGKey(args.seed)
     saved = 0
-    dump = {"boxes_pred": [], "boxes_gt": [], "objs": [], "obj_mask": []}
+    dump = {"boxes_pred": [], "boxes_gt": [], "objs": [], "obj_mask": [],
+            "masks_pred": [], "masks_gt": []}
     for batch in loader:
         if saved >= args.num_samples:
             break
@@ -173,6 +174,10 @@ def run_checkpoint(args, checkpoint_path):
         dump["boxes_gt"].append(batch["boxes"])
         dump["objs"].append(batch["objs"])
         dump["obj_mask"].append(batch["obj_mask"])
+        if masks_pred is not None:
+            dump["masks_pred"].append(np.asarray(masks_pred))
+        if batch.get("masks") is not None:
+            dump["masks_gt"].append(batch["masks"])
 
     np.savez(os.path.join(args.output_dir, "data.npz"),
              **{k: np.concatenate(v) for k, v in dump.items() if v})
@@ -187,8 +192,19 @@ def main(argv=None):
             checkpoints = [ln.strip() for ln in f if ln.strip()]
         base = args.output_dir
         for i, ck in enumerate(checkpoints):
-            args.output_dir = os.path.join(base, f"result{i:03d}")
-            run_checkpoint(args, ck)
+            if os.path.isdir(ck):
+                # Snapshot directories (reference sample_images.py:268-285):
+                # run every snapshot_*.pt inside.
+                for fn in sorted(os.listdir(ck)):
+                    if "snapshot" not in fn:
+                        continue
+                    name = os.path.splitext(fn)[0].split("_")[-1]
+                    args.output_dir = os.path.join(
+                        base, f"result{i:03d}_{name}")
+                    run_checkpoint(args, os.path.join(ck, fn))
+            else:
+                args.output_dir = os.path.join(base, f"result{i:03d}")
+                run_checkpoint(args, ck)
     else:
         run_checkpoint(args, args.checkpoint)
     return 0
