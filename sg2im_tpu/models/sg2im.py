@@ -32,6 +32,7 @@ from sg2im_tpu.nn.layers import (
     BatchNorm,
     torch_linear_bias_init,
     torch_linear_kernel_init,
+    upsample_nearest,
 )
 from sg2im_tpu.ops.layout import boxes_to_layout, masks_to_layout
 
@@ -54,7 +55,7 @@ class MaskNet(nn.Module):
         # out of train-mode BN statistics (ragged-batch parity).
         cur, idx = 1, 0
         while cur < self.mask_size:
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = upsample_nearest(x, 2)
             x = BatchNorm(self.dim, name=f"layer{idx + 1}")(
                 x, train=train, mask=sample_mask)
             x = nn.Conv(
