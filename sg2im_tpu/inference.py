@@ -31,10 +31,20 @@ def _pad_rows(arr, n: int):
 class InferenceEngine:
     """Holds a generator + converted variables and serves generation calls."""
 
-    def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8):
+    def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
+        generation batches shard over it (params replicated), scaling
+        serving throughput across chips."""
         self.vocab = vocab
         self.model_kwargs = dict(model_kwargs)
         self.model = Sg2ImGenerator(vocab=vocab, **self.model_kwargs)
+        self.mesh = mesh
+        if mesh is not None:
+            from sg2im_tpu.parallel.mesh import replicate_state
+
+            variables = replicate_state(
+                jax.tree.map(jnp.asarray, variables), mesh)
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.pad_align = pad_align
 
@@ -98,11 +108,17 @@ class InferenceEngine:
                     noise_np = _pad_rows(noise_np, N)
                 noise_arr = jnp.asarray(noise_np)
 
+        arrays = (jnp.asarray(batch.objs), jnp.asarray(batch.triples),
+                  jnp.asarray(batch.obj_mask), jnp.asarray(batch.triple_mask))
+        if self.mesh is not None:
+            from sg2im_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            arrays = tuple(jax.device_put(a, sh) for a in arrays)
+            if noise_arr is not None:
+                noise_arr = jax.device_put(noise_arr, sh)
         imgs, boxes, masks, rel_scores = self._fwd(
-            self.variables,
-            jnp.asarray(batch.objs), jnp.asarray(batch.triples),
-            jnp.asarray(batch.obj_mask), jnp.asarray(batch.triple_mask),
-            noise_arr,
+            self.variables, *arrays, noise_arr,
         )
         return {"imgs": imgs, "boxes": boxes, "masks": masks,
                 "rel_scores": rel_scores}
@@ -123,6 +139,9 @@ class InferenceEngine:
         batch = encode_scene_graphs(scene_graphs, self.vocab,
                                     align=self.pad_align)
         n_pad = max(1, 1 << (n_real - 1).bit_length()) if n_real else 1
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            n_pad = max(n_pad, ((n_pad + d - 1) // d) * d)
         if n_pad > n_real:
             batch = batch.replace(
                 objs=_pad_rows(batch.objs, n_pad),

@@ -154,3 +154,21 @@ def test_engine_batch_bucketing(tmp_path, torch04_semantics):
     # Graph 0 produces the same image regardless of batch company.
     np.testing.assert_allclose(np.asarray(out1["imgs"][0]),
                                np.asarray(out3["imgs"][0]), atol=1e-5)
+
+
+def test_engine_sharded_generation(tmp_path, torch04_semantics):
+    """Sharded (8-way 'data' mesh) generation matches single-device."""
+    import jax
+
+    from sg2im_tpu.parallel.mesh import make_mesh
+
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    single = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    sharded = InferenceEngine.from_torch_checkpoint(
+        ckpt_path, mesh=make_mesh(n_data=8))
+
+    want, _ = single.generate(SCENE_GRAPHS, noise="zeros")
+    got, _ = sharded.generate(SCENE_GRAPHS, noise="zeros")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got.astype(np.int32), want.astype(np.int32),
+                               atol=1)
