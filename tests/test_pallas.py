@@ -84,3 +84,12 @@ def test_vjp_matches_numerical():
     vm[i] -= eps
     num = (float(f(jnp.asarray(vp))) - float(f(jnp.asarray(vm)))) / (2 * eps)
     assert abs(float(g[i]) - num) < 1e-2
+
+
+def test_fused_kernel_unaligned_objects():
+    """O not 8-aligned still works (interpret mode)."""
+    vecs, boxes, masks, obj_mask, H, W = _inputs(N=1, O=5, M=8, D=16)
+    want = masks_to_layout(vecs, boxes, masks, obj_mask, H, W, backend="xla")
+    got = masks_to_layout(vecs, boxes, masks, obj_mask, H, W,
+                          backend="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
