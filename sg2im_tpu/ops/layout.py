@@ -159,20 +159,24 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
     """
     from sg2im_tpu.ops.pallas.layout_kernel import (
         fused_layout_compose,
+        fused_layout_compose_v2,
         pallas_available,
     )
 
     W = H if W is None else W
     masks = masks.astype(vecs.dtype)
-    use_pallas = backend in ("pallas", "pallas-interpret") or (
+    use_pallas = backend in ("pallas", "pallas-interpret", "pallas-v2") or (
         backend == "auto" and pallas_available(H, W))
     if use_pallas:
-        M_h, M_w = masks.shape[-2:]
-        wy, wx = box_warp_weights(boxes, H, W, M_h, M_w)
         v = vecs if obj_mask is None else (
             vecs * obj_mask[..., None].astype(vecs.dtype))
-        out = fused_layout_compose(
-            wy, wx, masks, v, backend == "pallas-interpret")
+        if backend == "pallas-v2":
+            out = fused_layout_compose_v2(boxes, masks, v, H, W, False)
+        else:
+            M_h, M_w = masks.shape[-2:]
+            wy, wx = box_warp_weights(boxes, H, W, M_h, M_w)
+            out = fused_layout_compose(
+                wy, wx, masks, v, backend == "pallas-interpret")
         return _apply_avg(out, obj_mask, pooling)
     return _compose(mask_warp(boxes, masks, H, W), vecs, obj_mask, pooling)
 

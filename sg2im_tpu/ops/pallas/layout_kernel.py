@@ -161,3 +161,115 @@ def pallas_available(H: int | None = None, W: int | None = None) -> bool:
     if H is not None and H % 8 != 0:
         return False
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# v2: tent weights computed in-kernel from raw boxes (less HBM traffic, one
+# fewer fusion boundary on the input side).
+# ---------------------------------------------------------------------------
+
+def _make_v2_kernel(H: int, W: int, TH: int, M: int):
+    def kernel(boxes_ref, m_ref, v_ref, out_ref):
+        h_idx = pl.program_id(1)
+        boxes = boxes_ref[0]    # (O, 4)
+        mask = m_ref[0]         # (O, M, M)
+        vecs = v_ref[0]         # (O, D)
+        O = mask.shape[0]
+
+        def tent(lo, hi, out_size, global_off, n_rows):
+            # rows: output coords t in [0,1]; per-object source coords
+            # s = (t - lo)/(hi - lo) * (M-1); weights max(0, 1-|s-j|).
+            # Mosaic only lowers rank-2 iota: build (O*rows, M) then split.
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_rows), 1).astype(jnp.float32)
+            t = (global_off + row_ids) / (out_size - 1)
+            s = (t - lo[:, None]) / (hi - lo)[:, None] * (M - 1)  # (O, rows)
+            s_flat = s.reshape(O * n_rows, 1)
+            j = jax.lax.broadcasted_iota(
+                jnp.int32, (O * n_rows, M), 1).astype(jnp.float32)
+            w = 1.0 - jnp.abs(s_flat - j)
+            w = jnp.maximum(w, 0.0)
+            w = jnp.where(jnp.isfinite(w), w, 0.0)
+            return w.reshape(O, n_rows, M)
+
+        wy = tent(boxes[:, 1], boxes[:, 3], H, h_idx * TH, TH)
+        wx = tent(boxes[:, 0], boxes[:, 2], W, 0, W)
+
+        tmp = jax.lax.dot_general(
+            wy, mask, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        warp = jax.lax.dot_general(
+            tmp, wx, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        flat = warp.reshape(O, TH * W)
+        out = jax.lax.dot_general(
+            flat, vecs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[0] = out.reshape(TH, W, vecs.shape[-1])
+
+    return kernel
+
+
+def _pallas_compose_v2(boxes, masks, vecs, H, W, interpret: bool):
+    N, O = boxes.shape[:2]
+    M = masks.shape[-1]
+    D = vecs.shape[-1]
+    TH = _pick_tile(H)
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    return pl.pallas_call(
+        _make_v2_kernel(H, W, TH, M),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, D), jnp.float32),
+        grid=(N, H // TH),
+        in_specs=[
+            pl.BlockSpec((1, O, 4), lambda n, h: (n, 0, 0)),
+            pl.BlockSpec((1, O, M, M), lambda n, h: (n, 0, 0, 0)),
+            pl.BlockSpec((1, O, D), lambda n, h: (n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W, D), lambda n, h: (n, h, 0, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(boxes, masks, vecs)
+
+
+def _jnp_compose_from_boxes(boxes, masks, vecs, H, W):
+    from sg2im_tpu.ops.layout import box_warp_weights
+
+    M = masks.shape[-1]
+    wy, wx = box_warp_weights(boxes, H, W, M, M)
+    return _jnp_compose(wy, wx, masks, vecs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_layout_compose_v2(boxes, masks, vecs, H, W, interpret=False):
+    """Like fused_layout_compose but takes raw boxes; tent weights are
+    generated on-chip from iota (no (N,O,H+W,M) weight tensors in HBM).
+
+    STATUS: interpret-verified (numerics + gradients match the XLA path in
+    tests), but the Mosaic compiler in this environment rejects the
+    sub-lane-shaped (O, 4) boxes block / weight-construction reshapes
+    (tpu_compile_helper crash) — compiled use is gated off until a newer
+    Mosaic lands; `masks_to_layout(backend='pallas-v2')` is experimental.
+    The v1 kernel above is the production compiled path."""
+    return _pallas_compose_v2(boxes, masks, vecs, H, W, interpret)
+
+
+def _v2_fwd(boxes, masks, vecs, H, W, interpret=False):
+    return fused_layout_compose_v2(boxes, masks, vecs, H, W, interpret), \
+        (boxes, masks, vecs)
+
+
+def _v2_bwd(H, W, interpret, res, g):
+    boxes, masks, vecs = res
+    _, vjp = jax.vjp(
+        lambda b, m, v: _jnp_compose_from_boxes(b, m, v, H, W),
+        boxes, masks, vecs)
+    return vjp(g)
+
+
+fused_layout_compose_v2.defvjp(_v2_fwd, _v2_bwd)

@@ -93,3 +93,34 @@ def test_fused_kernel_unaligned_objects():
     got = masks_to_layout(vecs, boxes, masks, obj_mask, H, W,
                           backend="pallas-interpret")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_v2_kernel_matches_xla():
+    from sg2im_tpu.ops.pallas.layout_kernel import fused_layout_compose_v2
+
+    vecs, boxes, masks, obj_mask, H, W = _inputs()
+    v = vecs * obj_mask[..., None]
+    want = masks_to_layout(vecs, boxes, masks, obj_mask, H, W, backend="xla")
+    got = fused_layout_compose_v2(boxes, masks, v, H, W, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_v2_kernel_gradients():
+    from sg2im_tpu.ops.pallas.layout_kernel import fused_layout_compose_v2
+
+    vecs, boxes, masks, obj_mask, H, W = _inputs(N=1, O=3, H=16, W=16, M=4,
+                                                 D=6)
+    v = vecs * obj_mask[..., None]
+
+    def loss_v2(boxes, masks, v):
+        return (fused_layout_compose_v2(boxes, masks, v, H, W, True) ** 2).sum()
+
+    def loss_xla(boxes, masks, v):
+        out = masks_to_layout(v, boxes, masks, None, H, W, backend="xla")
+        return (out ** 2).sum()
+
+    gp = jax.grad(loss_v2, argnums=(0, 1, 2))(boxes, masks, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(boxes, masks, v)
+    for a, b, name in zip(gp, gx, ("boxes", "masks", "vecs")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-4, err_msg=name)
