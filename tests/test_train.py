@@ -254,3 +254,28 @@ def test_generator_loss_parity_vs_reference(torch04):
     state2, metrics = trainer.step(state, dict(batch))
     np.testing.assert_allclose(float(metrics["total_loss"]),
                                float(total_ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("gan_type", ["wgan", "lsgan"])
+def test_gan_loss_variants_train(gan_type):
+    """The wgan/lsgan dispatchers run through the full jitted step."""
+    config = TrainConfig(**dict(TINY, gan_loss_type=gan_type))
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    rng = np.random.RandomState(5)
+    batch = _rand_batch(rng, config)
+    for _ in range(2):
+        state, m = trainer.step(state, dict(batch))
+        assert np.isfinite(float(m["total_loss"])), (gan_type, m)
+    assert "d_obj_gan_loss" in m and "d_img_gan_loss" in m
+
+
+def test_instance_norm_discriminators_train():
+    config = TrainConfig(**dict(TINY, d_normalization="instance",
+                                d_obj_arch="C3-8-2,C3-8-1",
+                                d_img_arch="C3-8-2,C3-8-1"))
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    batch = _rand_batch(np.random.RandomState(6), config)
+    state, m = trainer.step(state, dict(batch))
+    assert np.isfinite(float(m["total_loss"]))
