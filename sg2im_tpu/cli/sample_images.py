@@ -119,10 +119,18 @@ def run_checkpoint(args, checkpoint_path):
     noise_dim = model_kwargs.get("layout_noise_dim", 0) or 0
 
     def fwd(batch, noise, boxes_gt, masks_gt):
-        return gen.apply(variables, batch["objs"], batch["triples"],
-                         batch["obj_mask"], batch["triple_mask"],
-                         boxes_gt=boxes_gt, masks_gt=masks_gt,
-                         train=train_mode, layout_noise=noise)
+        out = gen.apply(variables, batch["objs"], batch["triples"],
+                        batch["obj_mask"], batch["triple_mask"],
+                        boxes_gt=boxes_gt, masks_gt=masks_gt,
+                        train=train_mode, layout_noise=noise,
+                        # train-mode BN writes batch stats; collect+discard
+                        # (reference model_mode='train' samples with
+                        # batch-stat normalization, sample_images.py:43)
+                        mutable=(["batch_stats"] if train_mode
+                                 and "batch_stats" in variables else False))
+        if train_mode and "batch_stats" in variables:
+            out, _ = out
+        return out
 
     fwd = jax.jit(fwd)
 

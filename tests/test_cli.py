@@ -145,3 +145,37 @@ def test_export_native_to_torch(tmp_path, monkeypatch):
                         torch.tensor([[0, 1, 1], [0, 0, 2], [1, 0, 2]]),
                         torch.zeros(3, dtype=torch.long))
     assert img.shape[-2:] == (16, 16)
+
+
+def test_sample_images_train_mode(tmp_path, monkeypatch):
+    """--model_mode train (batch-stat normalization) must not crash."""
+    import torch.nn.functional as F
+
+    orig = F.grid_sample
+    monkeypatch.setattr(F, "grid_sample",
+                        lambda i, g, **kw: orig(i, g, align_corners=True))
+
+    from sg2im.model import Sg2ImModel
+
+    vocab, h5_path, img_dir = _fake_vg(str(tmp_path))
+    torch.manual_seed(0)
+    kwargs = dict(image_size=(16, 16), embedding_dim=8, gconv_dim=12,
+                  gconv_hidden_dim=16, gconv_num_layers=2,
+                  refinement_dims=(12, 8), mask_size=4, layout_noise_dim=4)
+    model = Sg2ImModel(vocab=vocab, **kwargs)
+    ckpt_path = os.path.join(tmp_path, "m.pt")
+    torch.save({"model_state": model.state_dict(),
+                "model_kwargs": dict(kwargs, vocab=vocab),
+                "args": {"dataset": "vg", "max_objects_per_image": 6}},
+               ckpt_path)
+
+    from sg2im_tpu.cli.sample_images import main
+
+    out_dir = os.path.join(tmp_path, "samples_train")
+    rc = main(["--checkpoint", ckpt_path, "--dataset", "vg",
+               "--image_size", "16,16", "--batch_size", "2",
+               "--num_samples", "2", "--vg_h5", h5_path,
+               "--vg_image_dir", img_dir, "--output_dir", out_dir,
+               "--model_mode", "train", "--loader_num_workers", "1"])
+    assert rc == 0
+    assert len(os.listdir(os.path.join(out_dir, "img"))) == 2
