@@ -364,7 +364,7 @@ class ResidualBlockBody(nn.Module):
     init: str = "default"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         act = parse_activation(self.activation)
         kinit = (kaiming_normal_init() if self.init == "kaiming-normal"
                  else torch_linear_kernel_init())
@@ -373,7 +373,7 @@ class ResidualBlockBody(nn.Module):
         for _ in range(2):
             if self.normalization == "batch":
                 h = BatchNorm(self.channels, name=f"layer{inner_idx}")(
-                    h, train=train
+                    h, train=train, mask=sample_mask
                 )
                 inner_idx += 1
             elif self.normalization == "instance":
@@ -459,7 +459,7 @@ class ArchCNN(nn.Module):
                 x = ResidualBlockBody(
                     spec.in_ch, spec.norm_kind, self.activation,
                     pad=spec.pad, init=self.init, name=name,
-                )(x, train=train)
+                )(x, train=train, sample_mask=sample_mask)
         return x
 
     def out_channels(self) -> int:
