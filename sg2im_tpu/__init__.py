@@ -17,3 +17,24 @@ This is a ground-up TPU-first redesign, not a port:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps bare ``import sg2im_tpu`` dependency-light)."""
+    if name == "InferenceEngine":
+        from sg2im_tpu.inference import InferenceEngine
+
+        return InferenceEngine
+    if name == "Trainer":
+        from sg2im_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "TrainConfig":
+        from sg2im_tpu.train.config import TrainConfig
+
+        return TrainConfig
+    if name == "Sg2ImGenerator":
+        from sg2im_tpu.models import Sg2ImGenerator
+
+        return Sg2ImGenerator
+    raise AttributeError(f"module 'sg2im_tpu' has no attribute '{name}'")
