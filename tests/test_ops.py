@@ -266,3 +266,28 @@ def test_box_transforms_roundtrip():
     c = ops.extents_to_centers(jnp.asarray(boxes))
     e = ops.centers_to_extents(c)
     np.testing.assert_allclose(np.asarray(e), boxes, atol=1e-5)
+
+
+def test_layout_fuzz_adversarial_boxes():
+    """Inverted (x1<x0), degenerate (zero-size), and far-out-of-frame boxes
+    all match torch grid_sample semantics (or are finite where torch NaNs
+    from 0/0 are implementation-defined)."""
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        O, D = 6, 4
+        vecs = rng.randn(O, D).astype(np.float32)
+        boxes = rng.uniform(-1.5, 1.5, (O, 4)).astype(np.float32)
+        boxes[0] = [0.8, 0.2, 0.3, 0.6]      # inverted x
+        boxes[1] = [0.5, 0.5, 0.5, 0.9]      # zero width
+        boxes[2] = [-5.0, -5.0, -4.0, -4.0]  # fully out of frame
+        o2i = np.zeros(O, np.int64)
+        want = _torch_layout(
+            torch.from_numpy(vecs), torch.from_numpy(boxes), None,
+            torch.from_numpy(o2i), 1, 16, 16,
+        ).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(ops.boxes_to_layout_flat(
+            jnp.asarray(vecs), jnp.asarray(boxes), jnp.asarray(o2i), 16,
+            num_imgs=1))
+        finite = np.isfinite(want)
+        np.testing.assert_allclose(got[finite], want[finite], atol=1e-4)
+        assert np.isfinite(got).all()
