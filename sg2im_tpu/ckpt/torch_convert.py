@@ -130,6 +130,9 @@ def _map_patch_d_path(parts):
     if parts[0] == "classifier":  # dead code, discriminators.py:40-45
         return None
     if parts[0] == "cnn":
+        if len(parts) >= 4 and parts[2] == "net":
+            # ResidualBlock sublayers: cnn.{i}.net.{j} -> cnn/layer{i}/layer{j}
+            return ["cnn", f"layer{parts[1]}", f"layer{parts[3]}"]
         return ["cnn", f"layer{parts[1]}"]
     raise ValueError(f"Unmapped PatchDiscriminator path: {'.'.join(parts)}")
 
@@ -141,6 +144,10 @@ def _map_ac_d_path(parts):
     rest = parts[1:]
     if rest[0] == "cnn":
         if rest[1] == "0":
+            if len(rest) >= 5 and rest[3] == "net":
+                # ResidualBlock: cnn.0.{i}.net.{j}
+                return ["discriminator", "cnn_0", f"layer{rest[2]}",
+                        f"layer{rest[4]}"]
             return ["discriminator", "cnn_0", f"layer{rest[2]}"]
         if rest[1] == "2":
             return ["discriminator", "cnn_2"]

@@ -193,6 +193,13 @@ def main(argv=None):
     from sg2im_tpu.utils.timing import profile_trace, timeit
 
     vocab, train_ds, val_ds = build_datasets(config)
+    if args.pad_triples_to is None and config.dataset == "vg":
+        # Don't trust the preprocess default of 30 rels: read the true cap
+        # from the h5 (silent triple truncation would impoverish graphs).
+        rel_cap = int(train_ds.data["relationship_subjects"].shape[1])
+        t_cap = rel_cap + config.max_objects_per_image + 1
+        config = dataclasses.replace(
+            config, pad_triples_to=int(np.ceil(t_cap / 8) * 8))
     print(f"Training dataset has {len(train_ds)} images")
     loader_kw = dict(batch_size=config.batch_size,
                      O_max=config.pad_objects_to,
@@ -220,7 +227,7 @@ def main(argv=None):
                                   if isinstance(v, dict) else v)
 
     t = int(state.step)
-    switched = t >= config.eval_mode_after
+    switched = 0 <= config.eval_mode_after <= t
     with profile_trace(args.profile_dir):
         while t < config.num_iterations:
             train_iter = (iter(train_loader) if trainer.mesh is not None
@@ -228,7 +235,8 @@ def main(argv=None):
             for batch in train_iter:
                 if t >= config.num_iterations:
                     break
-                if not switched and t >= config.eval_mode_after:
+                if (not switched and config.eval_mode_after >= 0
+                        and t >= config.eval_mode_after):
                     print("switching to eval mode")
                     state = trainer.reset_g_optimizer(state)
                     switched = True

@@ -15,10 +15,14 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
+
+
+_TRUNC_WARNED = False
 
 
 def collate_padded(samples, O_max: int, T_max: int, drop_excess: bool = True):
@@ -63,6 +67,14 @@ def collate_padded(samples, O_max: int, T_max: int, drop_excess: bool = True):
                      masks=(np.asarray(s["masks"])[keep]
                             if has_masks else None))
             O = O_max
+        if len(triples) > T_max:
+            global _TRUNC_WARNED
+            if not _TRUNC_WARNED:
+                _TRUNC_WARNED = True
+                warnings.warn(
+                    f"collate_padded: graph with {len(triples)} triples "
+                    f"truncated to T_max={T_max}; raise pad_triples_to to "
+                    f"keep all relationships", stacklevel=2)
         T = min(len(triples), T_max)
         out["imgs"][n] = s["image"]
         out["objs"][n, :O] = objs
@@ -130,14 +142,18 @@ class PaddedLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in self._index_batches():
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__,
-                                            batch_idx))
-                    q.put(collate_padded(samples, self.O_max, self.T_max))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in self._index_batches():
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                batch_idx))
+                        q.put(collate_padded(samples, self.O_max,
+                                             self.T_max))
+                q.put(None)
+            except BaseException as exc:  # surface in the consumer
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -146,6 +162,8 @@ class PaddedLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sg2im_tpu.nn.layers import (
@@ -87,12 +88,14 @@ class AcDiscriminator(nn.Module):
             1024,
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(cnn_dim),
+            precision=jax.lax.Precision.HIGHEST,
             name="cnn_2",
         )(vecs)
         real_scores = nn.Dense(
             1,
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(1024),
+            precision=jax.lax.Precision.HIGHEST,
             name="real_classifier",
         )(vecs)
         num_objects = len(self.vocab["object_idx_to_name"])
@@ -100,6 +103,7 @@ class AcDiscriminator(nn.Module):
             num_objects,
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(1024),
+            precision=jax.lax.Precision.HIGHEST,
             name="obj_classifier",
         )(vecs)
         return real_scores, obj_logits

@@ -147,6 +147,7 @@ class Sg2ImGenerator(nn.Module):
                 self.gconv_dim,
                 kernel_init=torch_linear_kernel_init(),
                 bias_init=torch_linear_bias_init(self.embedding_dim),
+                precision=jax.lax.Precision.HIGHEST,
                 name="gconv",
             )(obj_vecs)
         else:

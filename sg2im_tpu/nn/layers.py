@@ -233,10 +233,15 @@ class MLP(nn.Module):
                     kinit = kaiming_normal_init()
                 else:
                     kinit = torch_linear_kernel_init()
+                # CLAUDE.md hard rule: parity-critical matmuls run at
+                # HIGHEST precision (TPU f32 dots multiply in bf16 by
+                # default). These MLPs (GCN nets, box/rel heads) are tiny
+                # relative to the CRN convs, so this is ~free.
                 x = nn.Dense(
                     spec.dout,
                     kernel_init=kinit,
                     bias_init=torch_linear_bias_init(spec.din),
+                    precision=jax.lax.Precision.HIGHEST,
                     name=f"layer{spec.torch_idx}",
                 )(x)
             elif spec.kind == "bn":
@@ -453,6 +458,7 @@ class ArchCNN(nn.Module):
                     spec.out_ch,
                     kernel_init=torch_linear_kernel_init(),
                     bias_init=torch_linear_bias_init(spec.in_ch),
+                    precision=jax.lax.Precision.HIGHEST,
                     name=name,
                 )(x)
             elif spec.kind == "res":

@@ -186,7 +186,6 @@ def _apply_avg(out, obj_mask, pooling: str):
         return out
     if pooling != "avg":
         raise ValueError(f'Invalid pooling "{pooling}"')
-    N, O = (out.shape[0], None)
     if obj_mask is None:
         raise ValueError("avg pooling needs obj_mask on the fused path")
     counts = jnp.maximum(obj_mask.astype(out.dtype).sum(-1), 1.0)

@@ -48,8 +48,7 @@ def make_optimizers(config):
     return {"g": mk(), "d_obj": mk(), "d_img": mk()}
 
 
-def make_train_step(generator, d_obj, d_img, config, optimizers=None,
-                    axis_name: str | None = None):
+def make_train_step(generator, d_obj, d_img, config, optimizers=None):
     """Build the jitted train step.
 
     Args:

@@ -147,7 +147,10 @@ class Trainer:
     def step(self, state: TrainState, batch: dict):
         if self._host_step is None:
             self._host_step = int(state.step)  # one sync at (re)start
-        eval_mode = bool(self._host_step >= self.config.eval_mode_after)
+        # Reference semantics (train.py:466): negative eval_mode_after
+        # means 'never switch to eval mode'.
+        eval_mode = bool(0 <= self.config.eval_mode_after
+                         <= self._host_step)
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
         out = self.train_step(state, batch, eval_mode=eval_mode)

@@ -364,3 +364,18 @@ def test_coco_no_relationships(tmp_path):
     in_image = ds.vocab["pred_name_to_idx"]["__in_image__"]
     assert (s["triples"][:, 1] == in_image).all()
     assert len(s["triples"]) == len(s["objs"]) - 1
+
+
+def test_loader_propagates_worker_exceptions(tmp_path):
+    """A failing __getitem__ must raise in the consumer, not hang."""
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    ds = CocoSceneGraphDataset(
+        image_dir=img_dir, instances_json=inst_path, stuff_json=stuff_path,
+        image_size=(16, 16), mask_size=8, seed=0)
+    # sabotage one image file
+    victim = os.path.join(img_dir, os.listdir(img_dir)[0])
+    os.remove(victim)
+    loader = PaddedLoader(ds, batch_size=2, O_max=8, T_max=12,
+                          num_workers=2, seed=0)
+    with pytest.raises(FileNotFoundError):
+        list(loader)

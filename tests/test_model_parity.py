@@ -324,3 +324,27 @@ def test_torch_roundtrip_export():
     want = _run_reference_generator(ref, boxes_gt=FLAT_BOXES)[0]
     got = _run_reference_generator(fresh, boxes_gt=FLAT_BOXES)[0]
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_patch_discriminator_residual_arch_parity():
+    """R (residual) blocks in a discriminator arch convert correctly
+    (regression: converter used to collapse cnn.{i}.net.{j} paths)."""
+    from sg2im.discriminators import PatchDiscriminator as RefPatchD
+
+    torch.manual_seed(9)
+    arch = "C3-16-1,R,C3-32-2"
+    ref = RefPatchD(arch=arch, normalization="batch",
+                    activation="leakyrelu-0.2", padding="same")
+    ref.eval()
+    _randomize_bn_stats(ref)
+    rng = np.random.RandomState(10)
+    imgs = rng.randn(2, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(imgs)).permute(0, 2, 3, 1).numpy()
+
+    variables = convert_patch_discriminator_state(ref.state_dict())
+    mine = PatchDiscriminator(arch=arch, normalization="batch",
+                              activation="leakyrelu-0.2", padding="same")
+    got = mine.apply(variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+                     train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)

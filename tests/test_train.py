@@ -279,3 +279,19 @@ def test_instance_norm_discriminators_train():
     batch = _rand_batch(np.random.RandomState(6), config)
     state, m = trainer.step(state, dict(batch))
     assert np.isfinite(float(m["total_loss"]))
+
+
+def test_negative_eval_mode_after_never_switches():
+    """eval_mode_after=-1 means 'never switch' (reference train.py:466)."""
+    config = TrainConfig(**dict(TINY, eval_mode_after=-1))
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    batch = _rand_batch(np.random.RandomState(7), config)
+    stats_before = jax.tree.map(np.asarray, state.g_vars["batch_stats"])
+    state, _ = trainer.step(state, dict(batch))
+    # train mode => BN stats must have moved
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(stats_before),
+                        jax.tree.leaves(state.g_vars["batch_stats"])))
+    assert moved
