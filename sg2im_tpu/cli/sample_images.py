@@ -107,8 +107,18 @@ def run_checkpoint(args, checkpoint_path):
     variables = bundle["generator"]
 
     dset = _build_dataset(args, ckpt_args, vocab)
-    O_max = 16
-    T_max = 48
+    # Derive pad targets from the actual data caps (avoid silent triple
+    # truncation in collate_padded).
+    if args.dataset == "vg":
+        max_objs = ckpt_args.get("max_objects_per_image", 10)
+        rel_cap = int(dset.data["relationship_subjects"].shape[1])
+        o_cap = max_objs + 2  # +__image__, +sampling quirk (vg.py:98-99)
+        t_cap = rel_cap + max_objs + 1
+    else:
+        o_cap = 8 + 1
+        t_cap = 8 + 8
+    O_max = int(np.ceil(o_cap / 8) * 8)
+    T_max = int(np.ceil(t_cap / 8) * 8)
     loader = PaddedLoader(dset, batch_size=args.batch_size, O_max=O_max,
                           T_max=T_max, shuffle=args.shuffle,
                           num_workers=args.loader_num_workers,
