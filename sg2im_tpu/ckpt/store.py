@@ -46,6 +46,16 @@ def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
     backend = backend or _default_backend()
     os.makedirs(path, exist_ok=True)
     state = jax.tree.map(np.asarray, jax.device_get(state))
+    # Remove the other representation so a later restore can't resurrect a
+    # stale checkpoint written with a different backend.
+    import shutil
+
+    other_orbax = os.path.join(os.path.abspath(path), "state_orbax")
+    other_msgpack = os.path.join(path, "state.msgpack")
+    if backend == "orbax" and os.path.exists(other_msgpack):
+        os.remove(other_msgpack)
+    if backend != "orbax" and os.path.isdir(other_orbax):
+        shutil.rmtree(other_orbax)
     if backend == "orbax":
         import orbax.checkpoint as ocp
 

@@ -308,7 +308,6 @@ def convert_variables_to_torch_state(variables):
         leaf = path[-1]
         torch_parts = _flax_path_to_torch(path[:-1])
         base = ".".join(torch_parts)
-        is_bn = "bn" in path
         if leaf == "embedding":
             state[f"{base}.weight"] = torch.from_numpy(arr.copy())
         elif leaf == "kernel":
@@ -323,17 +322,14 @@ def convert_variables_to_torch_state(variables):
             state[f"{base}.bias"] = torch.from_numpy(arr.copy())
         else:
             raise ValueError(f"unknown param leaf {leaf} at {path}")
-        del is_bn
     for path, arr in stats.items():
         arr = np.asarray(arr, np.float32)
         leaf = path[-1]
         base = ".".join(_flax_path_to_torch(path[:-1]))
         if leaf == "mean":
-            state[f"{base}.running_mean"] = __import__("torch").from_numpy(
-                arr.copy())
+            state[f"{base}.running_mean"] = torch.from_numpy(arr.copy())
         elif leaf == "var":
-            state[f"{base}.running_var"] = __import__("torch").from_numpy(
-                arr.copy())
+            state[f"{base}.running_var"] = torch.from_numpy(arr.copy())
         else:
             raise ValueError(f"unknown stat leaf {leaf} at {path}")
     return state

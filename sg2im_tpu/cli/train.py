@@ -111,19 +111,20 @@ def config_from_args(args) -> TrainConfig:
     fields = {f.name for f in dataclasses.fields(TrainConfig)}
     kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
     cfg = TrainConfig(**kw)
-    # Auto-derive static pad targets from dataset caps.
+    # Auto-derive static pad targets from dataset caps (each flag
+    # independently; explicit values are never clobbered).
+    if cfg.dataset == "coco":
+        o_cap = 8 + 1  # max_objects_per_image + __image__
+        t_cap = 8 + 8  # one heuristic triple per object + __in_image__
+    else:
+        o_cap = cfg.max_objects_per_image + 1  # (+1 quirk-safe below)
+        t_cap = 30 + cfg.max_objects_per_image + 1
     if args.pad_objects_to is None:
-        if cfg.dataset == "coco":
-            o_cap = 8 + 1  # max_objects_per_image + __image__
-            t_cap = 8 + 8  # one heuristic triple per object + __in_image__
-        else:
-            o_cap = cfg.max_objects_per_image + 1  # (+1 quirk-safe below)
-            t_cap = 30 + cfg.max_objects_per_image + 1
         cfg = dataclasses.replace(
-            cfg,
-            pad_objects_to=int(np.ceil((o_cap + 1) / 8) * 8),
-            pad_triples_to=int(np.ceil(t_cap / 8) * 8),
-        )
+            cfg, pad_objects_to=int(np.ceil((o_cap + 1) / 8) * 8))
+    if args.pad_triples_to is None:
+        cfg = dataclasses.replace(
+            cfg, pad_triples_to=int(np.ceil(t_cap / 8) * 8))
     return cfg
 
 
@@ -211,6 +212,20 @@ def main(argv=None):
 
     trainer = Trainer(config, vocab)
     state = trainer.init_state(seed=config.seed)
+    if config.checkpoint_start_from:
+        # Warm-start generator (+discriminators if present) from a reference
+        # .pt checkpoint (reference build_model, train.py:161-171).
+        from sg2im_tpu.ckpt.torch_convert import convert_checkpoint
+
+        bundle = convert_checkpoint(config.checkpoint_start_from)
+        repl = {"g_vars": bundle["generator"]}
+        if bundle["d_obj"] is not None and state.d_obj_vars is not None:
+            repl["d_obj_vars"] = bundle["d_obj"]
+        if bundle["d_img"] is not None and state.d_img_vars is not None:
+            repl["d_img_vars"] = bundle["d_img"]
+        state = state.replace(**repl)
+        print(f"Warm-started from {config.checkpoint_start_from} "
+              f"({sorted(repl)})")
 
     history = {"losses": defaultdict(list), "losses_ts": [],
                "checkpoint_ts": [], "train_iou": [], "val_iou": [],
@@ -227,7 +242,7 @@ def main(argv=None):
                                   if isinstance(v, dict) else v)
 
     t = int(state.step)
-    switched = 0 <= config.eval_mode_after <= t
+    switched = 0 <= config.eval_mode_after < t
     with profile_trace(args.profile_dir):
         while t < config.num_iterations:
             train_iter = (iter(train_loader) if trainer.mesh is not None
@@ -253,6 +268,12 @@ def main(argv=None):
                     history["losses_ts"].append(t)
 
                 if t % config.checkpoint_every == 0:
+                    print("checking on train")
+                    t_losses, t_iou = trainer.check_model(
+                        state, iter(train_loader),
+                        num_samples=config.num_val_samples)
+                    print("train iou:", t_iou)
+                    history["train_iou"].append(t_iou)
                     print("checking on val")
                     val_losses, val_iou = trainer.check_model(
                         state, iter(val_loader),

@@ -141,6 +141,17 @@ class PaddedLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # Bounded put that aborts when the consumer abandoned iteration
+            # (a plain q.put would block forever and leak the thread pool).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -149,11 +160,12 @@ class PaddedLoader:
                             return
                         samples = list(pool.map(self.dataset.__getitem__,
                                                 batch_idx))
-                        q.put(collate_padded(samples, self.O_max,
-                                             self.T_max))
-                q.put(None)
+                        if not put_or_stop(collate_padded(
+                                samples, self.O_max, self.T_max)):
+                            return
+                put_or_stop(None)
             except BaseException as exc:  # surface in the consumer
-                q.put(exc)
+                put_or_stop(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

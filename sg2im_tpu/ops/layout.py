@@ -154,8 +154,9 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
     Args:
       vecs: (N, O, D); boxes: (N, O, 4); masks: (N, O, M, M);
       obj_mask: (N, O) or None.
-      backend: 'auto' (fused Pallas kernel on TPU, XLA elsewhere), 'xla',
-        'pallas', or 'pallas-interpret' (for CPU testing).
+      backend: 'auto' (XLA unless SG2IM_TPU_FORCE_PALLAS=1 opts into the
+        fused kernel on TPU — see pallas_available), 'xla', 'pallas',
+        'pallas-v2', or 'pallas-interpret' (for CPU testing).
     """
     from sg2im_tpu.ops.pallas.layout_kernel import (
         fused_layout_compose,
@@ -165,6 +166,9 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
 
     W = H if W is None else W
     masks = masks.astype(vecs.dtype)
+    valid = ("auto", "xla", "pallas", "pallas-interpret", "pallas-v2")
+    if backend not in valid:
+        raise ValueError(f'Invalid backend "{backend}"; one of {valid}')
     use_pallas = backend in ("pallas", "pallas-interpret", "pallas-v2") or (
         backend == "auto" and pallas_available(H, W))
     if use_pallas:

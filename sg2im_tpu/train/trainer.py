@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sg2im_tpu.data.batching import GraphBatch
 from sg2im_tpu.losses import (
     binary_cross_entropy,
     cross_entropy,
@@ -33,22 +32,6 @@ from sg2im_tpu.train.step import make_optimizers, make_train_step
 from sg2im_tpu.utils.metrics import jaccard
 
 
-def batch_to_arrays(batch: GraphBatch) -> dict:
-    """GraphBatch -> plain dict of device-ready arrays for the train step."""
-    out = {
-        "objs": np.asarray(batch.objs, np.int32),
-        "triples": np.asarray(batch.triples, np.int32),
-        "obj_mask": np.asarray(batch.obj_mask, np.float32),
-        "triple_mask": np.asarray(batch.triple_mask, np.float32),
-        "boxes": np.asarray(batch.boxes, np.float32),
-    }
-    if batch.images is not None:
-        out["imgs"] = np.asarray(batch.images, np.float32)
-    if batch.masks is not None:
-        out["masks"] = np.asarray(batch.masks, np.float32)
-    return out
-
-
 class Trainer:
     def __init__(self, config: TrainConfig, vocab, mesh=None):
         self.config = config
@@ -63,9 +46,11 @@ class Trainer:
         self.train_step = make_train_step(self.generator, self.d_obj,
                                           self.d_img, config,
                                           self.optimizers)
-        self.mesh = mesh if mesh is not None else (
-            make_mesh(config.data_parallel)
-            if config.data_parallel > 1 else None)
+        if mesh is False:
+            mesh = None  # explicit opt-out
+        elif mesh is None and config.data_parallel > 1:
+            mesh = make_mesh(config.data_parallel)
+        self.mesh = mesh
         self._eval_step = None
         # Host-mirrored step counter: reading ``int(state.step)`` from the
         # device every iteration would force a full sync + host round-trip

@@ -179,3 +179,41 @@ def test_sample_images_train_mode(tmp_path, monkeypatch):
                "--model_mode", "train", "--loader_num_workers", "1"])
     assert rc == 0
     assert len(os.listdir(os.path.join(out_dir, "img"))) == 2
+
+
+def test_checkpoint_start_from_warm_start(tmp_path, monkeypatch, capsys):
+    """--checkpoint_start_from loads reference .pt weights into the
+    generator before training (reference train.py:161-171)."""
+    import torch.nn.functional as F
+
+    orig = F.grid_sample
+    monkeypatch.setattr(F, "grid_sample",
+                        lambda i, g, **kw: orig(i, g, align_corners=True))
+
+    from sg2im.model import Sg2ImModel
+
+    # Vocab matching the synthetic COCO fixture (ids 0..90 -> 91 names).
+    from sg2im_tpu.cli.train import build_parser, config_from_args, \
+        build_datasets
+
+    flags = _coco_flags(tmp_path)
+    args = build_parser().parse_args(
+        flags + ["--num_iterations", "1", "--output_dir", str(tmp_path)])
+    config = config_from_args(args)
+    vocab, _, _ = build_datasets(config)
+
+    torch.manual_seed(3)
+    ref = Sg2ImModel(vocab=vocab, **config.generator_kwargs())
+    ckpt_path = os.path.join(tmp_path, "warm.pt")
+    torch.save({"model_state": ref.state_dict(),
+                "model_kwargs": dict(config.generator_kwargs(), vocab=vocab),
+                "args": {}}, ckpt_path)
+
+    from sg2im_tpu.cli.train import main
+
+    out_dir = os.path.join(tmp_path, "warm_run")
+    os.makedirs(out_dir)
+    rc = main(flags + ["--num_iterations", "1", "--output_dir", out_dir,
+                       "--checkpoint_start_from", ckpt_path])
+    assert rc == 0
+    assert "Warm-started from" in capsys.readouterr().out
