@@ -62,7 +62,6 @@ class MaskNet(nn.Module):
                 self.dim, (3, 3), padding=[(1, 1), (1, 1)],
                 kernel_init=torch_linear_kernel_init(),
                 bias_init=torch_linear_bias_init(self.dim * 9),
-                precision=jax.lax.Precision.HIGHEST,
                 name=f"layer{idx + 2}",
             )(x)
             x = jax.nn.relu(x)
@@ -74,7 +73,6 @@ class MaskNet(nn.Module):
             1, (1, 1), padding="VALID",
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(self.dim),
-            precision=jax.lax.Precision.HIGHEST,
             name=f"layer{idx}",
         )(x)
         return x
