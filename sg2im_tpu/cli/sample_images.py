@@ -71,7 +71,9 @@ def _build_dataset(args, ckpt_args, vocab):
             min_objects_per_image=ckpt_args.get("min_objects_per_image", 3),
             instance_whitelist=ckpt_args.get("instance_whitelist"),
             stuff_whitelist=ckpt_args.get("stuff_whitelist"),
-            include_other=ckpt_args.get("coco_include_other", False),
+            # reference defaults this lookup to True for legacy ckpts
+            # (sample_images.py:91)
+            include_other=ckpt_args.get("coco_include_other", True),
             include_relationships=ckpt_args.get("include_relationships",
                                                 True),
         )
@@ -117,8 +119,10 @@ def run_checkpoint(args, checkpoint_path):
     else:
         o_cap = 8 + 1
         t_cap = 8 + 8
-    O_max = int(np.ceil(o_cap / 8) * 8)
-    T_max = int(np.ceil(t_cap / 8) * 8)
+    from sg2im_tpu.data.batching import round_up
+
+    O_max = round_up(o_cap, 8)
+    T_max = round_up(t_cap, 8)
     loader = PaddedLoader(dset, batch_size=args.batch_size, O_max=O_max,
                           T_max=T_max, shuffle=args.shuffle,
                           num_workers=args.loader_num_workers,

@@ -104,6 +104,9 @@ def build_parser():
     p.add_argument("--pad_triples_to", default=None, type=int)
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace output dir")
+    p.add_argument("--bf16_compute", default=False, type=bool_flag,
+                   help="bf16 CRN conv compute (perf mode; measured slower "
+                        "on v5e where f32 convs already multiply in bf16)")
     return p
 
 
@@ -119,12 +122,12 @@ def config_from_args(args) -> TrainConfig:
     else:
         o_cap = cfg.max_objects_per_image + 1  # (+1 quirk-safe below)
         t_cap = 30 + cfg.max_objects_per_image + 1
+    from sg2im_tpu.data.batching import round_up
+
     if args.pad_objects_to is None:
-        cfg = dataclasses.replace(
-            cfg, pad_objects_to=int(np.ceil((o_cap + 1) / 8) * 8))
+        cfg = dataclasses.replace(cfg, pad_objects_to=round_up(o_cap + 1, 8))
     if args.pad_triples_to is None:
-        cfg = dataclasses.replace(
-            cfg, pad_triples_to=int(np.ceil(t_cap / 8) * 8))
+        cfg = dataclasses.replace(cfg, pad_triples_to=round_up(t_cap, 8))
     return cfg
 
 
@@ -176,8 +179,9 @@ def build_datasets(config: TrainConfig):
     train = VgSceneGraphDataset(h5_path=config.train_h5,
                                 max_samples=config.num_train_samples,
                                 **common)
-    val = VgSceneGraphDataset(h5_path=config.val_h5,
-                              max_samples=config.num_val_samples, **common)
+    # Reference uses the FULL val split (build_vg_dsets deletes
+    # max_samples, train.py:281); check_model caps the sweep instead.
+    val = VgSceneGraphDataset(h5_path=config.val_h5, **common)
     return vocab, train, val
 
 
@@ -193,14 +197,52 @@ def main(argv=None):
     from sg2im_tpu.train.trainer import Trainer
     from sg2im_tpu.utils.timing import profile_trace, timeit
 
+    warm_bundle = None
+    if config.checkpoint_start_from:
+        # Reference build_model (train.py:161-171) constructs the model from
+        # the checkpoint's own kwargs+vocab, not from CLI flags — mirror
+        # that by overriding the generator-shaping config fields first.
+        from sg2im_tpu.ckpt.torch_convert import convert_checkpoint
+
+        warm_bundle = convert_checkpoint(config.checkpoint_start_from)
+        mk = warm_bundle["model_kwargs"]
+        config = dataclasses.replace(
+            config,
+            image_size=tuple(mk.get("image_size", config.image_size)),
+            embedding_dim=mk.get("embedding_dim", config.embedding_dim),
+            gconv_dim=mk.get("gconv_dim", config.gconv_dim),
+            gconv_hidden_dim=mk.get("gconv_hidden_dim",
+                                    config.gconv_hidden_dim),
+            gconv_num_layers=mk.get("gconv_num_layers",
+                                    config.gconv_num_layers),
+            mlp_normalization=mk.get("mlp_normalization",
+                                     config.mlp_normalization),
+            refinement_network_dims=tuple(mk.get(
+                "refinement_dims", config.refinement_network_dims)),
+            normalization=mk.get("normalization", config.normalization),
+            activation=mk.get("activation", config.activation),
+            mask_size=mk.get("mask_size") or 0,
+            layout_noise_dim=mk.get("layout_noise_dim",
+                                    config.layout_noise_dim),
+        )
+
     vocab, train_ds, val_ds = build_datasets(config)
+    if warm_bundle is not None:
+        ck_vocab = warm_bundle["vocab"]
+        if (len(ck_vocab["object_idx_to_name"])
+                != len(vocab["object_idx_to_name"])):
+            print("WARNING: checkpoint vocab size differs from dataset "
+                  "vocab; using the checkpoint's (weights define it)")
+        vocab = ck_vocab
     if args.pad_triples_to is None and config.dataset == "vg":
         # Don't trust the preprocess default of 30 rels: read the true cap
         # from the h5 (silent triple truncation would impoverish graphs).
         rel_cap = int(train_ds.data["relationship_subjects"].shape[1])
         t_cap = rel_cap + config.max_objects_per_image + 1
-        config = dataclasses.replace(
-            config, pad_triples_to=int(np.ceil(t_cap / 8) * 8))
+        from sg2im_tpu.data.batching import round_up
+
+        config = dataclasses.replace(config,
+                                     pad_triples_to=round_up(t_cap, 8))
     print(f"Training dataset has {len(train_ds)} images")
     loader_kw = dict(batch_size=config.batch_size,
                      O_max=config.pad_objects_to,
@@ -212,17 +254,12 @@ def main(argv=None):
 
     trainer = Trainer(config, vocab)
     state = trainer.init_state(seed=config.seed)
-    if config.checkpoint_start_from:
-        # Warm-start generator (+discriminators if present) from a reference
-        # .pt checkpoint (reference build_model, train.py:161-171).
-        from sg2im_tpu.ckpt.torch_convert import convert_checkpoint
-
-        bundle = convert_checkpoint(config.checkpoint_start_from)
-        repl = {"g_vars": bundle["generator"]}
-        if bundle["d_obj"] is not None and state.d_obj_vars is not None:
-            repl["d_obj_vars"] = bundle["d_obj"]
-        if bundle["d_img"] is not None and state.d_img_vars is not None:
-            repl["d_img_vars"] = bundle["d_img"]
+    if warm_bundle is not None:
+        repl = {"g_vars": warm_bundle["generator"]}
+        if warm_bundle["d_obj"] is not None and state.d_obj_vars is not None:
+            repl["d_obj_vars"] = warm_bundle["d_obj"]
+        if warm_bundle["d_img"] is not None and state.d_img_vars is not None:
+            repl["d_img_vars"] = warm_bundle["d_img"]
         state = state.replace(**repl)
         print(f"Warm-started from {config.checkpoint_start_from} "
               f"({sorted(repl)})")

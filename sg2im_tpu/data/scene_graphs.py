@@ -40,6 +40,11 @@ def encode_scene_graphs(scene_graphs, vocab, O_max: int | None = None,
         for s, p, o in rels:
             if p not in pred_to_idx:
                 raise ValueError(f'Relationship "{p}" not in vocab')
+            if not (0 <= s < len(objects)) or not (0 <= o < len(objects)):
+                # XLA gathers clamp silently; fail loudly like torch would.
+                raise ValueError(
+                    f"Relationship endpoint out of range: [{s}, {p!r}, {o}] "
+                    f"for a {image_idx}-object graph")
             triples.append([s, pred_to_idx[p], o])
         objs_list.append(obj_ids)
         triples_list.append(triples)

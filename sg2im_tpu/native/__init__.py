@@ -10,12 +10,14 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_DIR, "_rlecodec.so")
 _lib = None
+_lock = threading.Lock()  # loader decode threads race into _load()
 
 
 def build(force: bool = False) -> str | None:
@@ -24,11 +26,13 @@ def build(force: bool = False) -> str | None:
     if os.path.exists(_SO_PATH) and not force \
             and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src):
         return _SO_PATH
+    tmp = _SO_PATH + f".tmp{os.getpid()}"
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO_PATH, src],
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True)
+            os.replace(tmp, _SO_PATH)  # atomic; dlopen never sees a torso
             return _SO_PATH
         except (FileNotFoundError, subprocess.CalledProcessError):
             continue
@@ -39,6 +43,14 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib
     path = build()
     if path is None:
         return None

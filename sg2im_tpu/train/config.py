@@ -114,7 +114,13 @@ class TrainConfig:
 
     def generator_kwargs(self) -> dict[str, Any]:
         """Mirror of reference build_model kwargs (train.py:173-187)."""
+        extra = {}
+        if self.bf16_compute:
+            import jax.numpy as jnp
+
+            extra["compute_dtype"] = jnp.bfloat16
         return dict(
+            **extra,
             image_size=tuple(self.image_size),
             embedding_dim=self.embedding_dim,
             gconv_dim=self.gconv_dim,
