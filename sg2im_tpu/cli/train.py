@@ -78,7 +78,10 @@ def build_parser():
     # Discriminators
     p.add_argument("--discriminator_loss_weight", default=0.01, type=float)
     p.add_argument("--gan_loss_type", default="gan")
-    p.add_argument("--d_clip", default=None, type=float)
+    p.add_argument("--d_clip", default=None, type=float,
+                   help="WGAN weight clip bound applied to both D param "
+                        "sets after each update (the reference parses but "
+                        "never applies this flag; we implement the intent)")
     p.add_argument("--d_normalization", default="batch")
     p.add_argument("--d_padding", default="valid")
     p.add_argument("--d_activation", default="leakyrelu-0.2")

@@ -41,10 +41,68 @@ def _merge_vars(params, col):
     return {"params": params, **col}
 
 
+class SkippableAdam:
+    """Adam whose whole update — moments, count, and the applied step — is
+    gated by a traced boolean, in ONE fused elementwise pass.
+
+    Replaces the NaN-guard's whole-state ``tree_where`` (which read old+new
+    copies of every param/opt leaf: ~3x the optimizer state in extra HBM
+    traffic per step) while reproducing the reference's ``continue`` skip
+    exactly (``scripts/train.py:552-555``): when ``good`` is False the
+    moments and count are unchanged and the update is zero, so
+    ``optax.apply_updates`` leaves params bit-identical.
+
+    Numerics and the state pytree structure match
+    ``optax.adam(lr, b1, b2, eps)`` — (ScaleByAdamState, EmptyState) — so
+    existing checkpoints resume unchanged.
+    """
+
+    def __init__(self, learning_rate, b1=0.9, b2=0.999, eps=1e-8):
+        self.lr = learning_rate
+        self.b1, self.b2, self.eps = b1, b2, eps
+
+    def init(self, params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return (optax.ScaleByAdamState(
+                    count=jnp.zeros([], jnp.int32), mu=zeros(), nu=zeros()),
+                optax.EmptyState())
+
+    def update(self, grads, state, params=None, good=None):
+        del params
+        adam_state, empty = state
+        if good is None:
+            good = jnp.asarray(True)
+        count = adam_state.count + good.astype(adam_state.count.dtype)
+        cf = count.astype(jnp.float32)
+        c1 = 1.0 - self.b1 ** cf
+        c2 = 1.0 - self.b2 ** cf
+
+        def new_mu(m, g):
+            # jnp.where (not arithmetic masking): on skipped steps g is
+            # non-finite and 0*NaN would poison the moments.
+            return jnp.where(good, self.b1 * m + (1.0 - self.b1) * g, m)
+
+        def new_nu(v, g):
+            return jnp.where(good, self.b2 * v + (1.0 - self.b2) * g * g, v)
+
+        mu = jax.tree.map(new_mu, adam_state.mu, grads)
+        nu = jax.tree.map(new_nu, adam_state.nu, grads)
+
+        def upd(m, v):
+            # Same float-op order as optax scale_by_adam + scale(-lr).
+            u = -self.lr * ((m / c1) / (jnp.sqrt(v / c2) + self.eps))
+            return jnp.where(good, u, jnp.zeros_like(u))
+
+        updates = jax.tree.map(upd, mu, nu)
+        return updates, (optax.ScaleByAdamState(count=count, mu=mu, nu=nu),
+                         empty)
+
+
 def make_optimizers(config):
     """Three independent Adam optimizers (reference ``train.py:426-444``;
     torch Adam defaults: betas (0.9, 0.999), eps 1e-8)."""
-    mk = lambda: optax.adam(config.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    mk = lambda: SkippableAdam(config.learning_rate, b1=0.9, b2=0.999,
+                               eps=1e-8)
     return {"g": mk(), "d_obj": mk(), "d_img": mk()}
 
 
@@ -206,9 +264,18 @@ def make_train_step(generator, d_obj, d_img, config, optimizers=None):
                 batch, noise, eval_mode)
         metrics = dict(aux["losses"])
 
+        # NaN guard (train.py:552-555): the reference `continue`s when the
+        # G total loss is non-finite — skipping the G backward/step and both
+        # D steps, but AFTER the G forward and the D scoring passes inside
+        # the G loss already ran (torch updates BN running stats during
+        # those forwards).  So on skip: G/D-from-G-pass batch stats are
+        # adopted, while params, optimizer moments, and D-step batch stats
+        # keep their old values.  The param/optimizer skip is folded into
+        # SkippableAdam (zero HBM overhead vs an unguarded step).
         good = jnp.isfinite(total)
 
-        updates, g_opt_new = opts["g"].update(g_grads, state.g_opt, g_params)
+        updates, g_opt_new = opts["g"].update(g_grads, state.g_opt, g_params,
+                                              good=good)
         g_params_new = optax.apply_updates(g_params, updates)
         imgs_fake = jax.lax.stop_gradient(aux["imgs_pred"])
 
@@ -219,16 +286,33 @@ def make_train_step(generator, d_obj, d_img, config, optimizers=None):
             g_opt=g_opt_new,
         )
 
+        d_clip = getattr(config, "d_clip", None)
+
+        def maybe_clip(params):
+            # WGAN weight clip (train.py:116 parses --d_clip but never
+            # applies it; we implement the documented intent).  Gated by
+            # ``good`` so a skipped step leaves params bit-identical.
+            if d_clip is None:
+                return params
+            return jax.tree.map(
+                lambda p: jnp.where(good, jnp.clip(p, -d_clip, d_clip), p),
+                params)
+
         if d_obj is not None:
             d_params, d_col = _split_vars(state.d_obj_vars)
             if aux["d_obj_col_new"]:
                 d_col = {**d_col, **aux["d_obj_col_new"]}
+            d_col_pre = d_col
             (d_total, (d_losses, d_col)), d_grads = jax.value_and_grad(
                 d_obj_losses_fn, has_aux=True)(
                     d_params, d_col, imgs_fake, batch["imgs"], batch)
+            # On skip the reference never runs the D-step passes, so their
+            # BN-stat mutations are dropped (stats are per-channel vectors;
+            # the select is negligible).
+            d_col = tree_where(good, d_col, d_col_pre)
             du, d_opt_new = opts["d_obj"].update(d_grads, state.d_obj_opt,
-                                                 d_params)
-            d_params_new = optax.apply_updates(d_params, du)
+                                                 d_params, good=good)
+            d_params_new = maybe_clip(optax.apply_updates(d_params, du))
             new_fields["d_obj_vars"] = _merge_vars(d_params_new, d_col)
             new_fields["d_obj_opt"] = d_opt_new
             metrics.update(d_losses)
@@ -237,26 +321,21 @@ def make_train_step(generator, d_obj, d_img, config, optimizers=None):
             d_params, d_col = _split_vars(state.d_img_vars)
             if aux["d_img_col_new"]:
                 d_col = {**d_col, **aux["d_img_col_new"]}
+            d_col_pre = d_col
             (d_total, (d_losses, d_col)), d_grads = jax.value_and_grad(
                 d_img_losses_fn, has_aux=True)(
                     d_params, d_col, imgs_fake, batch["imgs"])
+            d_col = tree_where(good, d_col, d_col_pre)
             du, d_opt_new = opts["d_img"].update(d_grads, state.d_img_opt,
-                                                 d_params)
-            d_params_new = optax.apply_updates(d_params, du)
+                                                 d_params, good=good)
+            d_params_new = maybe_clip(optax.apply_updates(d_params, du))
             new_fields["d_img_vars"] = _merge_vars(d_params_new, d_col)
             new_fields["d_img_opt"] = d_opt_new
             metrics.update(d_losses)
             metrics["d_img_total"] = d_total
 
         new_state = state.replace(**new_fields)
-        # NaN guard (train.py:552-555): keep old learnable state, but always
-        # advance step and rng.
-        guarded = tree_where(
-            good,
-            new_state.replace(step=state.step, rng=state.rng),
-            state,
-        ).replace(step=state.step + 1, rng=rng)
         metrics["skipped_nonfinite"] = jnp.logical_not(good)
-        return guarded, metrics
+        return new_state, metrics
 
     return train_step

@@ -295,3 +295,86 @@ def test_negative_eval_mode_after_never_switches():
         for a, b in zip(jax.tree.leaves(stats_before),
                         jax.tree.leaves(state.g_vars["batch_stats"])))
     assert moved
+
+
+def test_skippable_adam_matches_optax_adam():
+    """SkippableAdam numerics == optax.adam on good steps (checkpoint and
+    resume compatibility depends on identical moments/updates)."""
+    import optax
+
+    from sg2im_tpu.train.step import SkippableAdam
+
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) / 7.0,
+              "b": jnp.float32(-0.3)}
+    ref = optax.adam(1e-2, b1=0.9, b2=0.999, eps=1e-8)
+    mine = SkippableAdam(1e-2, b1=0.9, b2=0.999, eps=1e-8)
+    s_ref, s_mine = ref.init(params), mine.init(params)
+    assert (jax.tree.structure(s_ref) == jax.tree.structure(s_mine))
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.randn(*np.shape(p)), jnp.float32),
+            params)
+        u_ref, s_ref = ref.update(grads, s_ref, params)
+        u_mine, s_mine = mine.update(grads, s_mine, params,
+                                     good=jnp.asarray(True))
+        for a, b in zip(jax.tree.leaves(u_ref), jax.tree.leaves(u_mine)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-7)
+        for a, b in zip(jax.tree.leaves(s_ref), jax.tree.leaves(s_mine)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-7)
+        params = optax.apply_updates(params, u_ref)
+
+
+def test_skippable_adam_skip_is_exact_noop():
+    from sg2im_tpu.train.step import SkippableAdam
+
+    opt = SkippableAdam(1e-2)
+    params = {"w": jnp.ones((3,), jnp.float32)}
+    state = opt.init(params)
+    # one good step to make moments nonzero
+    g = {"w": jnp.asarray([1.0, -2.0, 3.0], jnp.float32)}
+    _, state = opt.update(g, state, params, good=jnp.asarray(True))
+    before = jax.tree.map(np.asarray, state)
+    bad_g = {"w": jnp.asarray([np.nan, np.inf, 1.0], jnp.float32)}
+    u, state = opt.update(bad_g, state, params, good=jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(u["w"]), np.zeros(3))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard_keeps_optimizer_moments():
+    """A skipped step must leave Adam moments/counts bit-identical
+    (reference `continue` skips optimizer.step, train.py:552-560)."""
+    config = TrainConfig(**TINY)
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    rng = np.random.RandomState(1)
+    batch = _rand_batch(rng, config)
+    state, _ = trainer.step(state, dict(batch))  # one good step
+    opts_before = jax.tree.map(
+        np.asarray, (state.g_opt, state.d_obj_opt, state.d_img_opt))
+    bad = dict(batch)
+    bad["imgs"] = batch["imgs"] + np.nan
+    state2, metrics = trainer.step(state, bad)
+    assert bool(metrics["skipped_nonfinite"])
+    opts_after = (state2.g_opt, state2.d_obj_opt, state2.d_img_opt)
+    for a, b in zip(jax.tree.leaves(opts_before), jax.tree.leaves(opts_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_d_clip_bounds_discriminator_params():
+    """--d_clip (WGAN weight clip): D params bounded after each step; G
+    params unaffected by the clip."""
+    config = TrainConfig(**dict(TINY, gan_loss_type="wgan", d_clip=0.01))
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    rng = np.random.RandomState(2)
+    for i in range(2):
+        state, m = trainer.step(state, _rand_batch(rng, config))
+        assert np.isfinite(float(m["total_loss"]))
+    for leaf in jax.tree.leaves(state.d_obj_vars["params"]):
+        assert float(jnp.abs(leaf).max()) <= 0.01 + 1e-7
+    for leaf in jax.tree.leaves(state.d_img_vars["params"]):
+        assert float(jnp.abs(leaf).max()) <= 0.01 + 1e-7
