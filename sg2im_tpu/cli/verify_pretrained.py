@@ -1,0 +1,196 @@
+"""verify_pretrained CLI: the north-star fidelity gate, as one command.
+
+Given a reference ``.pt`` checkpoint (e.g. ``vg128.pt``) and scene-graph
+JSONs, renders images with THIS framework and scores PSNR against either
+
+  1. golden PNGs from a directory (``--golden_dir``, e.g. the reference
+     repo's ``images/sheep/img00000*.png``), or
+  2. the reference PyTorch model run in-process on CPU on the *same*
+     inputs with the *same* (zeroed/shared) layout noise (``--run_reference``,
+     default when the reference repo is importable) — the same harness as
+     ``tests/test_inference.py::test_engine_psnr_vs_reference``.
+
+Exits 0 iff every comparison clears ``--min_psnr`` (default 40 dB — the
+acceptance bar implied by reference ``README.md:78-89``'s "reproduce the
+sheep images" procedure).
+
+Example:
+    python -m sg2im_tpu.cli.verify_pretrained \
+        --checkpoint sg2im-models/vg128.pt \
+        --scene_graphs_json scene_graphs/figure_6_sheep.json \
+        --output_dir /tmp/verify_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help="Reference .pt checkpoint (full or stripped)")
+    p.add_argument("--scene_graphs_json", nargs="+",
+                   default=["scene_graphs/figure_5_vg.json",
+                            "scene_graphs/figure_6_sheep.json",
+                            "scene_graphs/figure_6_street.json"],
+                   help="One or more scene-graph JSON files")
+    p.add_argument("--output_dir", default="verify_outputs")
+    p.add_argument("--golden_dir", default=None,
+                   help="Directory of golden PNGs named img%%06d.png (one "
+                        "per graph, concatenated across JSONs in order); "
+                        "compared in uint8 space")
+    p.add_argument("--run_reference", type=int, default=None,
+                   help="1: run the reference torch model in-process for "
+                        "comparison (needs --reference_repo importable); "
+                        "default: auto (1 if importable and no golden_dir)")
+    p.add_argument("--reference_repo", default="/root/reference",
+                   help="Path to the google/sg2im checkout")
+    p.add_argument("--min_psnr", type=float, default=40.0)
+    return p
+
+
+def _load_graphs(paths):
+    all_graphs, spans = [], []
+    for path in paths:
+        with open(path) as f:
+            sgs = json.load(f)
+        if isinstance(sgs, dict):
+            sgs = [sgs]
+        spans.append((path, len(all_graphs), len(sgs)))
+        all_graphs.extend(sgs)
+    return all_graphs, spans
+
+
+def _run_reference_model(reference_repo, ckpt_path, scene_graphs, noise_hwD):
+    """Run reference Sg2ImModel.forward_json on CPU with torch-0.4 semantics
+    shims and a pinned layout noise (reference samples randn in forward,
+    ``sg2im/model.py:164-169``)."""
+    sys.path.insert(0, reference_repo)
+    import torch
+    import torch.nn.functional as F
+
+    from sg2im.model import Sg2ImModel
+
+    orig_gs = F.grid_sample
+
+    def gs(input, grid, **kw):
+        # torch 0.4 grid_sample was align_corners=True (the arg didn't
+        # exist); modern torch defaults to False.
+        kw.setdefault("align_corners", True)
+        return orig_gs(input, grid, **kw)
+
+    F.grid_sample = gs
+    orig_randn = torch.randn
+    noise_t = torch.as_tensor(
+        np.transpose(noise_hwD, (0, 3, 1, 2)).copy())  # NCHW
+
+    def randn(*shape, **kw):
+        dims = shape
+        if len(dims) == 1 and isinstance(dims[0], (tuple, list, torch.Size)):
+            dims = tuple(dims[0])  # model.py:165 passes one tuple arg
+        if tuple(dims) == tuple(noise_t.shape):
+            return noise_t.to(dtype=kw.get("dtype") or noise_t.dtype)
+        return orig_randn(*shape, **kw)
+
+    torch.randn = randn
+    try:
+        ckpt = torch.load(ckpt_path, map_location="cpu")
+        state = {k[len("module."):] if k.startswith("module.") else k: v
+                 for k, v in ckpt["model_state"].items()}
+        model = Sg2ImModel(**ckpt["model_kwargs"])
+        model.load_state_dict(state)
+        model.eval()
+        with torch.no_grad():
+            imgs, *_ = model.forward_json(
+                json.loads(json.dumps(scene_graphs)))
+        return imgs.permute(0, 2, 3, 1).numpy()
+    finally:
+        F.grid_sample = orig_gs
+        torch.randn = orig_randn
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    if not os.path.isfile(args.checkpoint):
+        print(f'ERROR: Checkpoint file "{args.checkpoint}" not found')
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from PIL import Image
+
+    from sg2im_tpu.data.transforms import imagenet_deprocess_batch
+    from sg2im_tpu.inference import InferenceEngine
+    from sg2im_tpu.utils.compile_cache import enable_compile_cache
+    from sg2im_tpu.utils.metrics import psnr
+
+    enable_compile_cache()
+
+    scene_graphs, spans = _load_graphs(args.scene_graphs_json)
+    engine = InferenceEngine.from_torch_checkpoint(args.checkpoint)
+    got_u8, out = engine.generate(scene_graphs, noise="zeros")
+    raw = np.asarray(out["imgs"])  # pre-deprocess float images
+
+    for i in range(len(scene_graphs)):
+        Image.fromarray(got_u8[i]).save(
+            os.path.join(args.output_dir, "img%06d.png" % i))
+    print(f"Wrote {len(scene_graphs)} images to {args.output_dir}")
+
+    run_ref = args.run_reference
+    if run_ref is None:
+        run_ref = (args.golden_dir is None and os.path.isdir(
+            os.path.join(args.reference_repo, "sg2im")))
+
+    ok = True
+    results = {}
+    if args.golden_dir:
+        golden = []
+        for i in range(len(scene_graphs)):
+            path = os.path.join(args.golden_dir, "img%06d.png" % i)
+            if not os.path.isfile(path):
+                print(f"ERROR: missing golden image {path}")
+                return 1
+            golden.append(np.asarray(Image.open(path).convert("RGB")))
+        golden = np.stack(golden)
+        for path, off, n in spans:
+            val = psnr(got_u8[off:off + n], golden[off:off + n])
+            results[f"golden_u8:{os.path.basename(path)}"] = val
+        results["golden_u8:ALL"] = psnr(got_u8, golden)
+
+    if run_ref:
+        N = len(scene_graphs)
+        H, W = raw.shape[1:3]
+        nd = engine.model_kwargs.get("layout_noise_dim", 0)
+        noise = np.zeros((N, H, W, nd), np.float32)
+        ref_raw = _run_reference_model(
+            args.reference_repo, args.checkpoint, scene_graphs, noise)
+        ref_u8 = imagenet_deprocess_batch(ref_raw)
+        for path, off, n in spans:
+            results[f"ref_raw:{os.path.basename(path)}"] = psnr(
+                raw[off:off + n], ref_raw[off:off + n], max_val=1.0)
+            results[f"ref_u8:{os.path.basename(path)}"] = psnr(
+                got_u8[off:off + n], ref_u8[off:off + n])
+        results["ref_raw:ALL"] = psnr(raw, ref_raw, max_val=1.0)
+        results["ref_u8:ALL"] = psnr(got_u8, ref_u8)
+
+    if not results:
+        print("ERROR: nothing to compare against — pass --golden_dir or "
+              "--run_reference 1 (with --reference_repo)")
+        return 1
+
+    for name, val in results.items():
+        status = "OK " if val >= args.min_psnr else "LOW"
+        ok &= val >= args.min_psnr
+        print(f"  [{status}] {name}: {val:.2f} dB (min {args.min_psnr})")
+    print(json.dumps({"psnr": {k: round(v, 2) for k, v in results.items()},
+                      "pass": bool(ok)}))
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

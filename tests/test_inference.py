@@ -172,3 +172,55 @@ def test_engine_sharded_generation(tmp_path, torch04_semantics):
     assert got.shape == want.shape
     np.testing.assert_allclose(got.astype(np.int32), want.astype(np.int32),
                                atol=1)
+
+
+def test_verify_pretrained_cli(tmp_path, capsys):
+    """One-shot north-star gate: .pt + scene graphs -> PSNR vs the
+    reference model run in-process; >40 dB on the synthetic checkpoint.
+    (No torch04_semantics fixture: the CLI applies its own shims.)"""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    sg_path = os.path.join(tmp_path, "sg.json")
+    with open(sg_path, "w") as f:
+        json.dump(SCENE_GRAPHS, f)
+    out_dir = os.path.join(tmp_path, "verify_out")
+
+    from sg2im_tpu.cli.verify_pretrained import main
+
+    rc = main(["--checkpoint", ckpt_path, "--scene_graphs_json", sg_path,
+               "--output_dir", out_dir, "--run_reference", "1",
+               "--reference_repo", "/root/reference"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert summary["pass"]
+    assert summary["psnr"]["ref_raw:ALL"] > 40
+    assert sorted(os.listdir(out_dir)) == ["img000000.png", "img000001.png"]
+
+
+def test_verify_pretrained_cli_golden_dir(tmp_path):
+    """Golden-PNG mode: comparing against the CLI's own outputs must be a
+    perfect match; against corrupted goldens it must fail with rc=2."""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    sg_path = os.path.join(tmp_path, "sg.json")
+    with open(sg_path, "w") as f:
+        json.dump(SCENE_GRAPHS, f)
+    out_dir = os.path.join(tmp_path, "out1")
+
+    from sg2im_tpu.cli.verify_pretrained import main
+
+    rc = main(["--checkpoint", ckpt_path, "--scene_graphs_json", sg_path,
+               "--output_dir", out_dir, "--golden_dir", out_dir,
+               "--run_reference", "0"])
+    assert rc == 0  # self-comparison: inf dB
+
+    from PIL import Image
+
+    bad_dir = os.path.join(tmp_path, "bad_golden")
+    os.makedirs(bad_dir)
+    for name in os.listdir(out_dir):
+        arr = np.asarray(Image.open(os.path.join(out_dir, name)))
+        Image.fromarray(255 - arr).save(os.path.join(bad_dir, name))
+    rc = main(["--checkpoint", ckpt_path, "--scene_graphs_json", sg_path,
+               "--output_dir", os.path.join(tmp_path, "out2"),
+               "--golden_dir", bad_dir, "--run_reference", "0"])
+    assert rc == 2

@@ -348,3 +348,44 @@ def test_patch_discriminator_residual_arch_parity():
     got = mine.apply(variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)),
                      train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_fused_upsample_conv_phase_equals_legacy():
+    """The phase-factored conv0 (Pallas CRN formulation) must match the
+    materialized upsample+concat+conv3x3 composition exactly (same params,
+    additions merely reassociate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.nn.crn import FusedUpsampleConv
+
+    rng = np.random.RandomState(0)
+    for (R, cl, cf, co) in [(4, 5, 3, 7), (8, 160, 128, 64), (3, 2, 1, 4)]:
+        layout = jnp.asarray(rng.randn(2, 2 * R, 2 * R, cl), jnp.float32)
+        feats = jnp.asarray(rng.randn(2, R, R, cf), jnp.float32)
+        legacy = FusedUpsampleConv(cl, cf, co, mode="legacy")
+        phase = FusedUpsampleConv(cl, cf, co, mode="phase")
+        variables = legacy.init(jax.random.PRNGKey(0), layout, feats)
+        a = legacy.apply(variables, layout, feats)
+        b = phase.apply(variables, layout, feats)
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5 * max(scale, 1.0), rtol=0)
+
+
+def test_refinement_network_phase_mode_matches_legacy():
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.nn.crn import RefinementNetwork
+
+    rng = np.random.RandomState(1)
+    layout = jnp.asarray(rng.randn(2, 16, 16, 6), jnp.float32)
+    legacy = RefinementNetwork(dims=(6, 10, 8), normalization="batch")
+    phase = RefinementNetwork(dims=(6, 10, 8), normalization="batch",
+                              conv0_mode="phase")
+    variables = legacy.init(jax.random.PRNGKey(0), layout)
+    a = legacy.apply(variables, layout)
+    b = phase.apply(variables, layout)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=0)
