@@ -41,20 +41,41 @@ def _default_backend() -> str:
     return os.environ.get("SG2IM_TPU_CKPT", "msgpack")
 
 
+def _to_host(x):
+    """Device leaf -> numpy.  Under multi-host the train state is fully
+    replicated, so any process can materialize it from a local shard (a
+    plain ``device_get`` rejects non-fully-addressable global arrays)."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
 def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
-                    backend: str | None = None):
+                    backend: str | None = None, arrays=None):
+    """``arrays`` is an optional pytree of numpy arrays (sample/batch-data
+    histories, reference ``train.py:611-661``) written to a msgpack sidecar
+    — too large for meta.json, not part of the resumable train state.
+
+    Multi-host: with the msgpack backend only process 0 writes (state is
+    replicated); the Orbax backend saves collectively from all processes.
+    """
     backend = backend or _default_backend()
-    os.makedirs(path, exist_ok=True)
-    state = jax.tree.map(np.asarray, jax.device_get(state))
+    proc0 = jax.process_index() == 0
+    if proc0:
+        os.makedirs(path, exist_ok=True)
+    if backend != "orbax":
+        if not proc0:
+            return
+        state = jax.tree.map(_to_host, state)
     # Remove the other representation so a later restore can't resurrect a
     # stale checkpoint written with a different backend.
     import shutil
 
     other_orbax = os.path.join(os.path.abspath(path), "state_orbax")
     other_msgpack = os.path.join(path, "state.msgpack")
-    if backend == "orbax" and os.path.exists(other_msgpack):
+    if proc0 and backend == "orbax" and os.path.exists(other_msgpack):
         os.remove(other_msgpack)
-    if backend != "orbax" and os.path.isdir(other_orbax):
+    if proc0 and backend != "orbax" and os.path.isdir(other_orbax):
         shutil.rmtree(other_orbax)
     if backend == "orbax":
         import orbax.checkpoint as ocp
@@ -62,7 +83,12 @@ def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
         ckptr = ocp.StandardCheckpointer()
         target = os.path.join(os.path.abspath(path), "state_orbax")
         # StandardCheckpointer rejects scalar leaves; lift to 0-d arrays.
-        arr_state = jax.tree.map(np.asarray, state)
+        # Non-addressable (multi-host) jax.Arrays are passed through — Orbax
+        # gathers them collectively across processes.
+        arr_state = jax.tree.map(
+            lambda x: x if (hasattr(x, "is_fully_addressable")
+                            and not x.is_fully_addressable)
+            else np.asarray(x), state)
         ckptr.save(target, arr_state, force=True)
         ckptr.wait_until_finished()
     else:
@@ -70,9 +96,18 @@ def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
 
         with open(os.path.join(path, "state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(state))
+    if not proc0:
+        return
     meta = {"config": config, "vocab": vocab, "extra": extra}
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, default=_meta_default)
+    if arrays is not None:
+        from flax import serialization
+
+        data = serialization.msgpack_serialize(
+            jax.tree.map(np.asarray, arrays))
+        with open(os.path.join(path, "history.msgpack"), "wb") as f:
+            f.write(data)
 
 
 def load_checkpoint(path: str, template):
@@ -104,4 +139,10 @@ def load_checkpoint(path: str, template):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    hist_path = os.path.join(path, "history.msgpack")
+    if os.path.exists(hist_path):
+        from flax import serialization
+
+        with open(hist_path, "rb") as f:
+            meta["arrays"] = serialization.msgpack_restore(f.read())
     return state, meta

@@ -103,6 +103,11 @@ def build_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--data_parallel", default=1, type=int,
                    help="devices along the 'data' mesh axis")
+    p.add_argument("--multihost", default=False, type=bool_flag,
+                   help="multi-host data parallelism: "
+                        "jax.distributed.initialize() + per-host disjoint "
+                        "loader shards + mesh over all global devices "
+                        "(batch_size is the GLOBAL batch)")
     p.add_argument("--pad_objects_to", default=None, type=int)
     p.add_argument("--pad_triples_to", default=None, type=int)
     p.add_argument("--profile_dir", default=None,
@@ -156,6 +161,7 @@ def build_datasets(config: TrainConfig):
             stuff_whitelist=config.stuff_whitelist,
             include_other=config.coco_include_other,
             include_relationships=config.include_relationships,
+            seed=config.seed,  # reproducible for any loader_num_workers
         )
         train = CocoSceneGraphDataset(
             image_dir=config.coco_train_image_dir,
@@ -178,7 +184,8 @@ def build_datasets(config: TrainConfig):
         image_size=config.image_size,
         max_objects=config.max_objects_per_image,
         use_orphaned_objects=config.vg_use_orphaned_objects,
-        include_relationships=config.include_relationships)
+        include_relationships=config.include_relationships,
+        seed=config.seed)  # reproducible for any loader_num_workers
     train = VgSceneGraphDataset(h5_path=config.train_h5,
                                 max_samples=config.num_train_samples,
                                 **common)
@@ -192,6 +199,31 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
     check_args(config)
+
+    shard = None
+    if args.multihost:
+        # Must run before any other backend touch (SURVEY §2.6 plan).
+        import jax
+
+        from sg2im_tpu.parallel.mesh import init_multihost
+
+        proc, nproc = init_multihost()
+        if config.batch_size % nproc:
+            raise SystemExit(
+                f"--batch_size {config.batch_size} (global) must divide by "
+                f"process_count {nproc}")
+        if nproc > 1:
+            shard = (proc, nproc)
+        import math
+
+        ndev = len(jax.devices())
+        n_data = math.gcd(config.batch_size, ndev)
+        if n_data != ndev:
+            print(f"multihost: batch_size {config.batch_size} not divisible "
+                  f"by {ndev} devices; sharding over {n_data}")
+        config = dataclasses.replace(config, data_parallel=n_data)
+        print(f"multihost: process {proc}/{nproc}, {ndev} global devices "
+              f"({jax.local_device_count()} local)")
 
     from sg2im_tpu.data.loader import PaddedLoader, prefetch_to_device
     from sg2im_tpu.utils.compile_cache import enable_compile_cache
@@ -247,11 +279,15 @@ def main(argv=None):
         config = dataclasses.replace(config,
                                      pad_triples_to=round_up(t_cap, 8))
     print(f"Training dataset has {len(train_ds)} images")
-    loader_kw = dict(batch_size=config.batch_size,
+    # Under multihost each process loads global_batch/process_count samples
+    # from its disjoint shard; shard_batch assembles the global batch.
+    local_bs = (config.batch_size // shard[1] if shard is not None
+                else config.batch_size)
+    loader_kw = dict(batch_size=local_bs,
                      O_max=config.pad_objects_to,
                      T_max=config.pad_triples_to,
                      num_workers=config.loader_num_workers,
-                     seed=config.seed)
+                     seed=config.seed, shard=shard)
     train_loader = PaddedLoader(train_ds, shuffle=True, **loader_kw)
     val_loader = PaddedLoader(val_ds, shuffle=config.shuffle_val, **loader_kw)
 
@@ -270,6 +306,11 @@ def main(argv=None):
     history = {"losses": defaultdict(list), "losses_ts": [],
                "checkpoint_ts": [], "train_iou": [], "val_iou": [],
                "val_losses": defaultdict(list)}
+    # Per-eval triptych samples + batch tensors, persisted like the
+    # reference checkpoint dict (train.py:611-661) — arrays live in a
+    # msgpack sidecar, not meta.json.
+    sample_history = {"train_samples": [], "train_batch_data": [],
+                      "val_samples": [], "val_batch_data": []}
     ckpt_path = os.path.join(config.output_dir,
                              f"{config.checkpoint_name}_state")
     if config.restore_from_checkpoint and os.path.exists(ckpt_path):
@@ -280,6 +321,9 @@ def main(argv=None):
                 if k in history:
                     history[k] = (defaultdict(list, v)
                                   if isinstance(v, dict) else v)
+        for k, v in (meta.get("arrays") or {}).items():
+            if k in sample_history:
+                sample_history[k] = list(v)
 
     t = int(state.step)
     switched = 0 <= config.eval_mode_after < t
@@ -301,6 +345,12 @@ def main(argv=None):
 
                 if t % config.print_every == 0:
                     print(f"t = {t} / {config.num_iterations}")
+                    if config.timing:
+                        # Per-phase device times (reference --timing
+                        # forward/loss/backward, train.py:524-560).
+                        for name, ms in trainer.step_breakdown(
+                                state, batch).items():
+                            print(f"  {name}: {ms:.2f}ms")
                     for name, val in sorted(metrics.items()):
                         v = float(val)
                         print(f"  [{name}]: {v:.4f}")
@@ -309,24 +359,32 @@ def main(argv=None):
 
                 if t % config.checkpoint_every == 0:
                     print("checking on train")
-                    t_losses, t_iou = trainer.check_model(
+                    t_losses, t_samples, t_bd, t_iou = trainer.check_model(
                         state, iter(train_loader),
-                        num_samples=config.num_val_samples)
+                        num_samples=config.num_val_samples,
+                        return_samples=True)
                     print("train iou:", t_iou)
                     history["train_iou"].append(t_iou)
+                    sample_history["train_samples"].append(t_samples)
+                    sample_history["train_batch_data"].append(t_bd)
                     print("checking on val")
-                    val_losses, val_iou = trainer.check_model(
-                        state, iter(val_loader),
-                        num_samples=config.num_val_samples)
+                    val_losses, v_samples, v_bd, val_iou = \
+                        trainer.check_model(
+                            state, iter(val_loader),
+                            num_samples=config.num_val_samples,
+                            return_samples=True)
                     print("val iou:", val_iou)
                     history["checkpoint_ts"].append(t)
                     history["val_iou"].append(val_iou)
+                    sample_history["val_samples"].append(v_samples)
+                    sample_history["val_batch_data"].append(v_bd)
                     for k, v in val_losses.items():
                         history["val_losses"][k].append(v)
                     trainer.save_checkpoint(
                         state, ckpt_path,
                         extra={k: (dict(v) if isinstance(v, defaultdict)
-                                   else v) for k, v in history.items()})
+                                   else v) for k, v in history.items()},
+                        arrays=sample_history)
                     print("Saved checkpoint to", ckpt_path)
     return 0
 

@@ -25,12 +25,12 @@ from __future__ import annotations
 import json
 import math
 import os
-import random
 from collections import defaultdict
 
 import numpy as np
 
 from sg2im_tpu.data.rle import seg_to_mask
+from sg2im_tpu.data.seeding import per_sample_rng
 from sg2im_tpu.data.transforms import imagenet_preprocess, resize_image
 
 COCO_PRED_NAMES = [
@@ -53,7 +53,8 @@ class CocoSceneGraphDataset:
         self.normalize_images = normalize_images
         self.include_relationships = include_relationships
         self.image_size = tuple(image_size)
-        self._rng = random.Random(seed) if seed is not None else random
+        self.seed = seed
+        self._epoch = 0
 
         with open(instances_json) as f:
             instances_data = json.load(f)
@@ -154,6 +155,11 @@ class CocoSceneGraphDataset:
         n = len(self.image_ids)
         return n if self.max_samples is None else min(n, self.max_samples)
 
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample RNG stream (fresh heuristic triples each
+        epoch, reproducibly — see ``sg2im_tpu.data.seeding``)."""
+        self._epoch = int(epoch)
+
     def _load_image(self, image_id):
         from PIL import Image
 
@@ -203,11 +209,12 @@ class CocoSceneGraphDataset:
         objs = np.asarray(objs, np.int64)
         boxes = np.asarray(boxes, np.float32)
         masks = np.stack(masks)
-        triples = self._synthesize_triples(objs, boxes, masks)
+        rng = per_sample_rng(self.seed, self._epoch, index)
+        triples = self._synthesize_triples(objs, boxes, masks, rng)
         return {"image": image, "objs": objs, "boxes": boxes,
                 "masks": masks, "triples": triples}
 
-    def _synthesize_triples(self, objs, boxes, masks):
+    def _synthesize_triples(self, objs, boxes, masks, rng):
         """Random heuristic scene graph from box geometry
         (reference ``coco.py:297-356``)."""
         O = len(objs)
@@ -229,8 +236,8 @@ class CocoSceneGraphDataset:
             choices = [o for o in real_objs if o != cur]
             if not choices or not self.include_relationships:
                 break
-            other = self._rng.choice(choices)
-            if self._rng.random() > 0.5:
+            other = rng.choice(choices)
+            if rng.random() > 0.5:
                 s, o = cur, other
             else:
                 s, o = other, cur

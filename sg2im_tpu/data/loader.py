@@ -138,6 +138,12 @@ class PaddedLoader:
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            # Advance the dataset's order-independent RNG stream so seeded
+            # sampling re-rolls per epoch yet stays reproducible for any
+            # num_workers (sg2im_tpu.data.seeding).
+            set_epoch(self._epoch)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -15,10 +15,10 @@ graphs can end up with ``max_objects + 1`` objects including ``__image__``
 from __future__ import annotations
 
 import os
-import random
 
 import numpy as np
 
+from sg2im_tpu.data.seeding import per_sample_rng
 from sg2im_tpu.data.transforms import imagenet_preprocess, resize_image
 
 
@@ -36,7 +36,8 @@ class VgSceneGraphDataset:
         self.max_samples = max_samples
         self.include_relationships = include_relationships
         self.normalize_images = normalize_images
-        self._rng = random.Random(seed) if seed is not None else random
+        self.seed = seed
+        self._epoch = 0
 
         import h5py
 
@@ -54,6 +55,11 @@ class VgSceneGraphDataset:
     def __len__(self):
         num = self.data["object_names"].shape[0]
         return num if self.max_samples is None else min(self.max_samples, num)
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample RNG stream (fresh object subsampling each
+        epoch, reproducibly — see ``sg2im_tpu.data.seeding``)."""
+        self._epoch = int(epoch)
 
     def __getitem__(self, index):
         from PIL import Image
@@ -79,16 +85,17 @@ class VgSceneGraphDataset:
             obj_idxs_without_rels.discard(s)
             obj_idxs_without_rels.discard(o)
 
+        rng = per_sample_rng(self.seed, self._epoch, index)
         obj_idxs = list(obj_idxs_with_rels)
         orphans = list(obj_idxs_without_rels)
         if len(obj_idxs) > self.max_objects - 1:
             # Reference samples max_objects here, not max_objects-1
             # (vg.py:98-99) — reproduced.
-            obj_idxs = self._rng.sample(obj_idxs, self.max_objects)
+            obj_idxs = rng.sample(obj_idxs, self.max_objects)
         if len(obj_idxs) < self.max_objects - 1 and self.use_orphaned_objects:
             num_to_add = min(self.max_objects - 1 - len(obj_idxs),
                              len(orphans))
-            obj_idxs += self._rng.sample(orphans, num_to_add)
+            obj_idxs += rng.sample(orphans, num_to_add)
         O = len(obj_idxs) + 1
 
         objs = np.full(O, -1, np.int64)

@@ -40,9 +40,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def init_multihost() -> tuple[int, int]:
+    """Bring up the JAX distributed runtime for multi-host training.
+
+    Coordinator address / process ids come from the environment (TPU pod
+    metadata, or JAX_COORDINATOR_ADDRESS & friends).  Idempotent: safe to
+    call when already initialized or on a single process.  Returns
+    ``(process_index, process_count)`` — feed these to
+    ``PaddedLoader(shard=...)`` so every host loads a disjoint slice.
+    """
+    if jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError) as e:
+            # Single-process run with no coordinator configured — that's a
+            # valid degenerate multihost setup, not an error.
+            print(f"multihost: running single-process ({e})")
+    return jax.process_index(), jax.process_count()
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, batch-axis sharded."""
+    """Place a host batch dict onto the mesh, batch-axis sharded.
+
+    Single-host: a plain sharded ``device_put``.  Multi-host: each process
+    holds only its local slice of the global batch, so the global array is
+    assembled from per-process shards (data-parallel contract: the loader
+    was built with ``shard=(process_index, process_count)`` and a local
+    batch of ``global_batch // process_count``).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: (jax.make_array_from_process_local_data(sh, np.asarray(v))
+                if v is not None else None)
+            for k, v in batch.items()
+        }
     return {
         k: (jax.device_put(v, sh) if v is not None else None)
         for k, v in batch.items()

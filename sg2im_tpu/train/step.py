@@ -338,4 +338,56 @@ def make_train_step(generator, d_obj, d_img, config, optimizers=None):
         metrics["skipped_nonfinite"] = jnp.logical_not(good)
         return new_state, metrics
 
+    # -- per-phase measurement fns (reference --timing sections,
+    # scripts/train.py:524-560).  The production step is ONE fused XLA
+    # program, so phases can't be fenced inside it; these separately-jitted
+    # probes time each section on identical inputs.  Each returns a scalar
+    # that data-depends on the phase's full output (global_norm over grads)
+    # so XLA can't dead-code the backward.
+    @jax.jit
+    def phase_g_forward(state, batch, noise):
+        g_params, g_col = _split_vars(state.g_vars)
+        mutable = ["batch_stats"] if "batch_stats" in g_col else []
+        out = generator.apply(
+            _merge_vars(g_params, g_col), batch["objs"], batch["triples"],
+            batch["obj_mask"], batch["triple_mask"],
+            boxes_gt=batch["boxes"], masks_gt=batch.get("masks"),
+            train=True, layout_noise=noise,
+            mutable=mutable if mutable else False)
+        imgs_pred = (out[0] if mutable else out)[0]
+        # (images, fence scalar): the caller fences on the scalar and feeds
+        # the images to the D phases.
+        return jax.lax.stop_gradient(imgs_pred), imgs_pred.sum()
+
+    @jax.jit
+    def phase_g_grad(state, batch, noise):
+        g_params, g_col = _split_vars(state.g_vars)
+        (total, _), grads = jax.value_and_grad(
+            generator_losses, has_aux=True)(
+                g_params, g_col, state.d_obj_vars, state.d_img_vars,
+                batch, noise, False)
+        return total + optax.global_norm(grads)
+
+    @jax.jit
+    def phase_d_obj_grad(state, batch, imgs_fake):
+        d_params, d_col = _split_vars(state.d_obj_vars)
+        (total, _), grads = jax.value_and_grad(
+            d_obj_losses_fn, has_aux=True)(
+                d_params, d_col, imgs_fake, batch["imgs"], batch)
+        return total + optax.global_norm(grads)
+
+    @jax.jit
+    def phase_d_img_grad(state, batch, imgs_fake):
+        d_params, d_col = _split_vars(state.d_img_vars)
+        (total, _), grads = jax.value_and_grad(
+            d_img_losses_fn, has_aux=True)(
+                d_params, d_col, imgs_fake, batch["imgs"])
+        return total + optax.global_norm(grads)
+
+    train_step.phase_fns = {"g_forward": phase_g_forward,
+                            "g_forward_backward": phase_g_grad}
+    if d_obj is not None:
+        train_step.phase_fns["d_obj_step"] = phase_d_obj_grad
+    if d_img is not None:
+        train_step.phase_fns["d_img_step"] = phase_d_img_grad
     return train_step

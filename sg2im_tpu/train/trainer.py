@@ -142,6 +142,45 @@ class Trainer:
         self._host_step += 1
         return out
 
+    def step_breakdown(self, state: TrainState, batch: dict) -> dict:
+        """Per-phase device times in ms (reference ``--timing`` sections,
+        ``scripts/train.py:524-560``): G forward, G forward+loss+backward,
+        each D step's forward+backward.  Measurement-only — training state
+        is not advanced.  Fencing is via a host scalar read (``float``),
+        which syncs even through the axon tunnel where
+        ``block_until_ready`` does not."""
+        import time
+
+        c = self.config
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        H, W = c.image_size
+        N = batch["imgs"].shape[0]
+        noise = None
+        if c.layout_noise_dim > 0:
+            noise = jax.random.normal(jax.random.PRNGKey(0),
+                                      (N, H, W, c.layout_noise_dim))
+        fns = self.train_step.phase_fns
+        times: dict[str, float] = {}
+        imgs_fake = None
+        for name, fn in fns.items():
+            if name.startswith("d_"):
+                args = (state, batch, imgs_fake)
+            else:
+                args = (state, batch, noise)
+            out = fn(*args)  # warm the compile outside the timed region
+            fence = out[1] if isinstance(out, tuple) else out
+            float(fence)
+            t0 = time.perf_counter()
+            out = fn(*args)
+            if isinstance(out, tuple):
+                imgs_fake, fence = out
+            else:
+                fence = out
+            float(fence)
+            times[name] = (time.perf_counter() - t0) * 1000.0
+        return times
+
     # -- validation (reference check_model, train.py:309-384) --------------
 
     def _build_eval_step(self):
@@ -174,13 +213,22 @@ class Trainer:
             losses["total_loss"] = sum(losses.values())
             iou_sum = jaccard(boxes_pred, batch["boxes"], batch["obj_mask"])
             n_objs = batch["obj_mask"].sum()
-            return losses, iou_sum, n_objs, imgs_pred
+            return losses, iou_sum, n_objs, (imgs_pred, boxes_pred,
+                                             masks_pred)
 
         return jax.jit(eval_step)
 
-    def check_model(self, state: TrainState, batches, num_samples=None):
+    def check_model(self, state: TrainState, batches, num_samples=None,
+                    return_samples: bool = False):
         """Validation sweep: mean losses + mean IoU (reference
-        ``check_model``).  ``batches`` is an iterable of batch dicts."""
+        ``check_model``).  ``batches`` is an iterable of batch dicts.
+
+        With ``return_samples=True`` also returns the reference's
+        ``(samples, batch_data)`` pair from the last batch swept — the
+        deprocessed GT-box/GT-mask triptych plus the padded batch tensors
+        and predictions (``train.py:346-384``; ``obj_to_img``/
+        ``triple_to_img`` are replaced by the padding masks).
+        """
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         c = self.config
@@ -188,6 +236,7 @@ class Trainer:
         tot_losses: dict[str, float] = {}
         tot_iou, tot_objs, seen = 0.0, 0.0, 0
         rng = jax.random.PRNGKey(int(state.step))
+        last_batch, last_preds = None, None
         for batch in batches:
             if num_samples is not None and seen >= num_samples:
                 break
@@ -196,16 +245,38 @@ class Trainer:
             if c.layout_noise_dim > 0:
                 rng, k = jax.random.split(rng)
                 noise = jax.random.normal(k, (N, H, W, c.layout_noise_dim))
-            losses, iou_sum, n_objs, _ = self._eval_step(
+            losses, iou_sum, n_objs, preds = self._eval_step(
                 state.g_vars, batch, noise)
             for k2, v in losses.items():
                 tot_losses[k2] = tot_losses.get(k2, 0.0) + float(v) * N
             tot_iou += float(iou_sum)
             tot_objs += float(n_objs)
             seen += N
+            last_batch, last_preds = batch, preds
         mean_losses = {k2: v / max(seen, 1) for k2, v in tot_losses.items()}
         avg_iou = tot_iou / max(tot_objs, 1.0)
-        return mean_losses, avg_iou
+        if not return_samples:
+            return mean_losses, avg_iou
+        from sg2im_tpu.data.transforms import imagenet_deprocess_batch
+
+        samples = self.sample_triptych(state, last_batch,
+                                       seed=int(state.step))
+        samples = {k: imagenet_deprocess_batch(np.asarray(v))
+                   for k, v in samples.items()}
+        _, boxes_pred, masks_pred = last_preds
+        batch_data = {
+            "objs": np.asarray(last_batch["objs"]),
+            "boxes_gt": np.asarray(last_batch["boxes"]),
+            "triples": np.asarray(last_batch["triples"]),
+            "obj_mask": np.asarray(last_batch["obj_mask"]),
+            "triple_mask": np.asarray(last_batch["triple_mask"]),
+            "boxes_pred": np.asarray(boxes_pred),
+        }
+        if last_batch.get("masks") is not None:
+            batch_data["masks_gt"] = np.asarray(last_batch["masks"])
+        if masks_pred is not None:
+            batch_data["masks_pred"] = np.asarray(masks_pred)
+        return mean_losses, samples, batch_data, avg_iou
 
     def sample_triptych(self, state: TrainState, batch: dict, seed: int = 0):
         """GT-box/GT-mask, GT-box/pred-mask, pred-box/pred-mask samples
@@ -232,11 +303,12 @@ class Trainer:
 
     # -- checkpointing -----------------------------------------------------
 
-    def save_checkpoint(self, state: TrainState, path: str, extra=None):
+    def save_checkpoint(self, state: TrainState, path: str, extra=None,
+                        arrays=None):
         from sg2im_tpu.ckpt.store import save_checkpoint
 
         save_checkpoint(path, state, config=self.config, vocab=self.vocab,
-                        extra=extra)
+                        extra=extra, arrays=arrays)
 
     def load_checkpoint(self, path: str, state: TrainState | None = None):
         from sg2im_tpu.ckpt.store import load_checkpoint

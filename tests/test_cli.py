@@ -59,6 +59,25 @@ def test_train_cli_and_resume(tmp_path, capsys):
     ckpt = os.path.join(out_dir, "checkpoint_state")
     assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
 
+    # Triptych samples + batch data persist per eval (reference
+    # train.py:611-661 checkpoint keys).
+    import flax.serialization as _ser
+
+    with open(os.path.join(ckpt, "history.msgpack"), "rb") as f:
+        arrays = _ser.msgpack_restore(f.read())
+    assert set(arrays) == {"train_samples", "train_batch_data",
+                           "val_samples", "val_batch_data"}
+    assert len(arrays["val_samples"]) == 2  # evals at t=2 and t=4
+    trip = arrays["val_samples"][0]
+    for key in ("gt_img", "gt_box_gt_mask", "gt_box_pred_mask",
+                "pred_box_pred_mask"):
+        img = trip[key]
+        assert img.dtype == np.uint8 and img.shape == (2, 16, 16, 3)
+    bd = arrays["val_batch_data"][0]
+    assert bd["boxes_pred"].shape == bd["boxes_gt"].shape
+    assert {"objs", "triples", "obj_mask", "triple_mask",
+            "masks_gt", "masks_pred"} <= set(bd)
+
     # Resume and run 2 more iterations.
     flags2 = _coco_flags(tmp_path) + [
         "--num_iterations", "6", "--output_dir", out_dir,
@@ -217,3 +236,47 @@ def test_checkpoint_start_from_warm_start(tmp_path, monkeypatch, capsys):
                        "--checkpoint_start_from", ckpt_path])
     assert rc == 0
     assert "Warm-started from" in capsys.readouterr().out
+
+
+def test_multihost_flag_single_process(tmp_path, capsys):
+    """--multihost on one process degrades to the plain mesh path (the
+    distributed runtime has no coordinator here) and still trains."""
+    from sg2im_tpu.cli.train import main
+
+    out_dir = os.path.join(tmp_path, "mh")
+    os.makedirs(out_dir)
+    flags = _coco_flags(tmp_path) + [
+        "--num_iterations", "2", "--output_dir", out_dir, "--multihost", "1"]
+    assert main(flags) == 0
+    out = capsys.readouterr().out
+    assert "multihost: process 0/1" in out
+    assert "t = 2 / 2" in out
+
+
+def test_multihost_simulated_two_host_coverage(tmp_path):
+    """Simulated 2-host split through the cli's own loader construction:
+    per-host loaders (shard=(k,2), local batch = global//2) jointly cover
+    exactly the batches the single-host loader yields (VERDICT #5)."""
+    from sg2im_tpu.cli.train import build_datasets, build_parser, \
+        config_from_args
+    from sg2im_tpu.data.loader import PaddedLoader
+
+    flags = _coco_flags(tmp_path) + ["--batch_size", "2"]
+    config = config_from_args(build_parser().parse_args(flags))
+    _, train_ds, _ = build_datasets(config)
+
+    def loader(shard, bs):
+        return PaddedLoader(train_ds, batch_size=bs,
+                            O_max=config.pad_objects_to,
+                            T_max=config.pad_triples_to,
+                            num_workers=1, seed=config.seed, shuffle=True,
+                            shard=shard)
+
+    global_imgs = np.concatenate(
+        [b["imgs"] for b in loader(None, 2)])
+    host_imgs = np.concatenate(
+        [b["imgs"] for k in range(2) for b in loader((k, 2), 1)])
+    assert host_imgs.shape == global_imgs.shape
+    a = sorted(np.abs(global_imgs).sum(axis=(1, 2, 3)).tolist())
+    b = sorted(np.abs(host_imgs).sum(axis=(1, 2, 3)).tolist())
+    np.testing.assert_allclose(a, b, rtol=1e-6)
