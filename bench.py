@@ -57,6 +57,11 @@ def flagship_setup(batch: int = 32):
         refinement_dims=(1024, 512, 256, 128, 64), normalization="batch",
         activation="leakyrelu-0.2", mask_size=16, layout_noise_dim=32,
     )
+    # bf16 CRN compute is the production inference mode: +4.3% e2e and
+    # 64 dB PSNR vs f32 (comfortably above the 40 dB fidelity gate; see
+    # test_generator_bf16_compute_fidelity).  BENCH_BF16=0 opts out.
+    if os.environ.get("BENCH_BF16", "1") not in ("0", ""):
+        model_kwargs["compute_dtype"] = jnp.bfloat16
     gen = Sg2ImGenerator(vocab=vocab, **model_kwargs)
 
     N, O, T = batch, 16, 32

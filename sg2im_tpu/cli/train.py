@@ -113,8 +113,9 @@ def build_parser():
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace output dir")
     p.add_argument("--bf16_compute", default=False, type=bool_flag,
-                   help="bf16 CRN conv compute (perf mode; measured slower "
-                        "on v5e where f32 convs already multiply in bf16)")
+                   help="bf16 CRN convs + bf16 inter-conv activation chain "
+                        "(+4.3%% e2e inference on v5e at 64 dB PSNR vs f32; "
+                        "train-mode BN stats stay f32)")
     return p
 
 

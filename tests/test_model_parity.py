@@ -389,3 +389,57 @@ def test_refinement_network_phase_mode_matches_legacy():
     b = phase.apply(variables, layout)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-4, rtol=0)
+
+
+@pytest.mark.parametrize("normalization", ["batch", "instance"])
+def test_generator_bf16_compute_fidelity(normalization):
+    """compute_dtype=bf16 (perf mode: bf16 CRN convs + bf16 inter-conv
+    activation chain) must stay within the PSNR>=40 dB fidelity gate of the
+    f32 path on identical params/inputs, in eval AND train mode, and must
+    keep params/batch_stats in f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.models import Sg2ImGenerator
+    from sg2im_tpu.utils.metrics import psnr
+
+    kw = dict(GEN_KWARGS, normalization=normalization, image_size=(32, 32),
+              refinement_dims=(16, 12, 8), layout_noise_dim=4)
+    gen_f32 = Sg2ImGenerator(vocab=VOCAB, **kw)
+    gen_bf16 = Sg2ImGenerator(vocab=VOCAB, compute_dtype=jnp.bfloat16, **kw)
+
+    objs, triples, obj_mask, triple_mask, boxes = _padded_inputs()
+    args = (jnp.asarray(objs), jnp.asarray(triples), jnp.asarray(obj_mask),
+            jnp.asarray(triple_mask))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 4))
+    apply_kw = dict(boxes_gt=jnp.asarray(_scatter_per_image(FLAT_BOXES)),
+                    layout_noise=noise)
+
+    variables = gen_f32.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        *args, train=False, **apply_kw)
+    # The bf16 model must share the identical (f32) variable tree.
+    tree_bf16 = jax.eval_shape(
+        lambda: gen_bf16.init(
+            {"params": jax.random.PRNGKey(0),
+             "noise": jax.random.PRNGKey(1)},
+            *args, train=False, **apply_kw))
+    assert (jax.tree.map(lambda a: (a.shape, a.dtype), tree_bf16)
+            == jax.tree.map(lambda a: (a.shape, jnp.asarray(a).dtype),
+                            variables))
+
+    img_f32 = gen_f32.apply(variables, *args, train=False, **apply_kw)[0]
+    img_bf16 = gen_bf16.apply(variables, *args, train=False, **apply_kw)[0]
+    assert img_bf16.dtype == jnp.float32  # output head returns f32
+    lo, hi = float(img_f32.min()), float(img_f32.max())
+    db = psnr(np.asarray(img_bf16), np.asarray(img_f32), max_val=hi - lo)
+    assert db > 40, f"bf16 eval fidelity too low: {db:.1f} dB"
+
+    # Train mode: runs, finite, and batch_stats stay f32.
+    out, mut = gen_bf16.apply(
+        variables, *args, train=True, **apply_kw,
+        rngs={"noise": jax.random.PRNGKey(3)}, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out[0])).all()
+    if normalization == "batch":
+        for leaf in jax.tree.leaves(mut["batch_stats"]):
+            assert leaf.dtype == jnp.float32
