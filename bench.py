@@ -62,6 +62,8 @@ def flagship_setup(batch: int = 32):
     # test_generator_bf16_compute_fidelity).  BENCH_BF16=0 opts out.
     if os.environ.get("BENCH_BF16", "1") not in ("0", ""):
         model_kwargs["compute_dtype"] = jnp.bfloat16
+    if os.environ.get("BENCH_CRN_MODE"):
+        model_kwargs["crn_mode"] = os.environ["BENCH_CRN_MODE"]
     gen = Sg2ImGenerator(vocab=vocab, **model_kwargs)
 
     N, O, T = batch, 16, 32

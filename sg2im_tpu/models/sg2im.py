@@ -99,6 +99,9 @@ class Sg2ImGenerator(nn.Module):
     mlp_normalization: str = "none"
     layout_noise_dim: int = 0
     compute_dtype: object = None  # bf16 CRN convs when set (perf mode)
+    crn_mode: str = "legacy"  # RefinementNetwork.conv0_mode: 'legacy',
+    #   'phase', or 'packed' (exact space-to-depth reformulation of the
+    #   high-res CRN stages; see nn/crn.py)
 
     @nn.compact
     def __call__(self, objs, triples, obj_mask=None, triple_mask=None,
@@ -225,6 +228,7 @@ class Sg2ImGenerator(nn.Module):
             normalization=self.normalization,
             activation=self.activation,
             compute_dtype=self.compute_dtype,
+            conv0_mode=self.crn_mode,
             name="refinement_net",
         )(layout, train=train)
         return imgs, boxes_pred, masks_pred, rel_scores

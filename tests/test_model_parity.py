@@ -392,6 +392,67 @@ def test_refinement_network_phase_mode_matches_legacy():
 
 
 @pytest.mark.parametrize("normalization", ["batch", "instance"])
+@pytest.mark.parametrize("compute_dtype", [None, "bf16"])
+def test_refinement_network_packed_mode_matches_legacy(normalization,
+                                                       compute_dtype):
+    """'packed' mode (space-to-depth stages + packed head) must reproduce
+    the legacy CRN exactly (additions reassociate only) on the same
+    params, in eval and train mode, with an identical variable tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.nn.crn import RefinementNetwork
+
+    dt = jnp.bfloat16 if compute_dtype else None
+    rng = np.random.RandomState(3)
+    layout = jnp.asarray(rng.randn(2, 32, 32, 6), jnp.float32)
+    kw = dict(dims=(6, 12, 10, 8), normalization=normalization,
+              compute_dtype=dt)
+    legacy = RefinementNetwork(**kw)
+    # packed_min_res=8: stages at 16^2 and 32^2 run packed, the 8^2 stage
+    # legacy — exercises the mixed chain + packed head.
+    packed = RefinementNetwork(**kw, conv0_mode="packed", packed_min_res=8)
+    variables = legacy.init(jax.random.PRNGKey(0), layout)
+    tree_p = jax.eval_shape(
+        lambda: packed.init(jax.random.PRNGKey(0), layout))
+    assert (jax.tree.map(lambda a: (a.shape, a.dtype), tree_p)
+            == jax.tree.map(lambda a: (a.shape, jnp.asarray(a).dtype),
+                            variables))
+
+    a = legacy.apply(variables, layout)
+    b = packed.apply(variables, layout)
+    if dt is None:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=0)
+    else:
+        # bf16 chains accumulate rounding differently per formulation;
+        # gate fidelity (vs the f32 legacy reference), not bit-equality.
+        from sg2im_tpu.utils.metrics import psnr
+
+        ref = np.asarray(RefinementNetwork(
+            **dict(kw, compute_dtype=None)).apply(variables, layout))
+        rng_ = float(ref.max() - ref.min())
+        db_legacy = psnr(np.asarray(a), ref, max_val=rng_)
+        db_packed = psnr(np.asarray(b), ref, max_val=rng_)
+        assert db_packed > 40, f"packed bf16 fidelity {db_packed:.1f} dB"
+        assert db_packed > db_legacy - 6, (db_packed, db_legacy)
+
+    if normalization == "batch" and dt is None:
+        # Train mode: batch stats computed in the packed domain must match
+        # the fine-grid stats exactly.
+        a, mut_a = legacy.apply(variables, layout, train=True,
+                                mutable=["batch_stats"])
+        b, mut_b = packed.apply(variables, layout, train=True,
+                                mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=0)
+        for la, lb in zip(jax.tree.leaves(mut_a["batch_stats"]),
+                          jax.tree.leaves(mut_b["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-4, rtol=0)
+
+
+@pytest.mark.parametrize("normalization", ["batch", "instance"])
 def test_generator_bf16_compute_fidelity(normalization):
     """compute_dtype=bf16 (perf mode: bf16 CRN convs + bf16 inter-conv
     activation chain) must stay within the PSNR>=40 dB fidelity gate of the
