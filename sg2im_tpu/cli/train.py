@@ -219,6 +219,14 @@ def main(argv=None):
 
         ndev = len(jax.devices())
         n_data = math.gcd(config.batch_size, ndev)
+        if n_data != ndev and nproc > 1:
+            # A device-subset mesh can exclude entire hosts, leaving their
+            # processes with no addressable shard of the global batch —
+            # make_array_from_process_local_data cannot assemble that.
+            raise SystemExit(
+                f"--batch_size {config.batch_size} (global) must divide by "
+                f"the {ndev} global devices under multi-process multihost "
+                f"(a gcd subset mesh would strand hosts)")
         if n_data != ndev:
             print(f"multihost: batch_size {config.batch_size} not divisible "
                   f"by {ndev} devices; sharding over {n_data}")

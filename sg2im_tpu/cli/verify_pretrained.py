@@ -69,37 +69,24 @@ def _load_graphs(paths):
 
 def _run_reference_model(reference_repo, ckpt_path, scene_graphs, noise_hwD):
     """Run reference Sg2ImModel.forward_json on CPU with torch-0.4 semantics
-    shims and a pinned layout noise (reference samples randn in forward,
-    ``sg2im/model.py:164-169``)."""
+    shims (shared ``sg2im_tpu.ckpt.torch_compat``) and a pinned layout noise
+    (reference samples randn in forward, ``sg2im/model.py:164-169``)."""
     sys.path.insert(0, reference_repo)
     import torch
-    import torch.nn.functional as F
 
     from sg2im.model import Sg2ImModel
 
-    orig_gs = F.grid_sample
+    from sg2im_tpu.ckpt.torch_compat import torch04_semantics
 
-    def gs(input, grid, **kw):
-        # torch 0.4 grid_sample was align_corners=True (the arg didn't
-        # exist); modern torch defaults to False.
-        kw.setdefault("align_corners", True)
-        return orig_gs(input, grid, **kw)
-
-    F.grid_sample = gs
-    orig_randn = torch.randn
     noise_t = torch.as_tensor(
         np.transpose(noise_hwD, (0, 3, 1, 2)).copy())  # NCHW
 
-    def randn(*shape, **kw):
-        dims = shape
-        if len(dims) == 1 and isinstance(dims[0], (tuple, list, torch.Size)):
-            dims = tuple(dims[0])  # model.py:165 passes one tuple arg
-        if tuple(dims) == tuple(noise_t.shape):
+    def pin_noise(dims, kw):
+        if dims == tuple(noise_t.shape):
             return noise_t.to(dtype=kw.get("dtype") or noise_t.dtype)
-        return orig_randn(*shape, **kw)
+        return None
 
-    torch.randn = randn
-    try:
+    with torch04_semantics(randn_override=pin_noise):
         ckpt = torch.load(ckpt_path, map_location="cpu")
         state = {k[len("module."):] if k.startswith("module.") else k: v
                  for k, v in ckpt["model_state"].items()}
@@ -110,9 +97,6 @@ def _run_reference_model(reference_repo, ckpt_path, scene_graphs, noise_hwD):
             imgs, *_ = model.forward_json(
                 json.loads(json.dumps(scene_graphs)))
         return imgs.permute(0, 2, 3, 1).numpy()
-    finally:
-        F.grid_sample = orig_gs
-        torch.randn = orig_randn
 
 
 def main(args=None):

@@ -157,7 +157,10 @@ class CocoSceneGraphDataset:
 
     def set_epoch(self, epoch: int):
         """Advance the per-sample RNG stream (fresh heuristic triples each
-        epoch, reproducibly — see ``sg2im_tpu.data.seeding``)."""
+        epoch, reproducibly — see ``sg2im_tpu.data.seeding``).  Prefer
+        :meth:`getitem_at_epoch` (no shared mutable state): concurrent
+        iterators (e.g. a mid-epoch eval sweep) racing ``set_epoch`` would
+        otherwise make in-flight samples' epoch thread-timing-dependent."""
         self._epoch = int(epoch)
 
     def _load_image(self, image_id):
@@ -175,9 +178,14 @@ class CocoSceneGraphDataset:
         return arr.astype(np.float32), WW, HH
 
     def __getitem__(self, index):
+        return self.getitem_at_epoch(index, self._epoch)
+
+    def getitem_at_epoch(self, index, epoch: int):
         """Returns dict(image (H,W,3), objs (O,), boxes (O,4),
         masks (O,M,M), triples (T,3)) — same content as the reference's
-        tuple (``coco.py:232-359``) in NHWC numpy form."""
+        tuple (``coco.py:232-359``) in NHWC numpy form.  ``epoch`` selects
+        the per-sample RNG stream explicitly (thread-safe; loaders bind it
+        per iterator)."""
         image_id = self.image_ids[index]
         image, WW, HH = self._load_image(image_id)
 
@@ -209,7 +217,7 @@ class CocoSceneGraphDataset:
         objs = np.asarray(objs, np.int64)
         boxes = np.asarray(boxes, np.float32)
         masks = np.stack(masks)
-        rng = per_sample_rng(self.seed, self._epoch, index)
+        rng = per_sample_rng(self.seed, epoch, index)
         triples = self._synthesize_triples(objs, boxes, masks, rng)
         return {"image": image, "objs": objs, "boxes": boxes,
                 "masks": masks, "triples": triples}

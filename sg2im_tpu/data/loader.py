@@ -138,12 +138,21 @@ class PaddedLoader:
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
-        set_epoch = getattr(self.dataset, "set_epoch", None)
-        if set_epoch is not None:
-            # Advance the dataset's order-independent RNG stream so seeded
-            # sampling re-rolls per epoch yet stays reproducible for any
-            # num_workers (sg2im_tpu.data.seeding).
-            set_epoch(self._epoch)
+        epoch = self._epoch
+        # Advance the dataset's order-independent RNG stream so seeded
+        # sampling re-rolls per epoch yet stays reproducible for any
+        # num_workers (sg2im_tpu.data.seeding).  The epoch is BOUND to
+        # this iterator (getitem_at_epoch), never written into shared
+        # dataset state: a mid-epoch eval sweep spawning a second iterator
+        # must not perturb the live train iterator's in-flight samples.
+        if hasattr(self.dataset, "getitem_at_epoch"):
+            def fetch(i, _e=epoch):
+                return self.dataset.getitem_at_epoch(i, _e)
+        else:
+            set_epoch = getattr(self.dataset, "set_epoch", None)
+            if set_epoch is not None:
+                set_epoch(epoch)
+            fetch = self.dataset.__getitem__
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -164,8 +173,7 @@ class PaddedLoader:
                     for batch_idx in self._index_batches():
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__,
-                                                batch_idx))
+                        samples = list(pool.map(fetch, batch_idx))
                         if not put_or_stop(collate_padded(
                                 samples, self.O_max, self.T_max)):
                             return

@@ -58,10 +58,15 @@ class VgSceneGraphDataset:
 
     def set_epoch(self, epoch: int):
         """Advance the per-sample RNG stream (fresh object subsampling each
-        epoch, reproducibly — see ``sg2im_tpu.data.seeding``)."""
+        epoch, reproducibly — see ``sg2im_tpu.data.seeding``).  Prefer
+        :meth:`getitem_at_epoch` (no shared mutable state; see the COCO
+        dataset's note)."""
         self._epoch = int(epoch)
 
     def __getitem__(self, index):
+        return self.getitem_at_epoch(index, self._epoch)
+
+    def getitem_at_epoch(self, index, epoch: int):
         from PIL import Image
 
         img_path = os.path.join(self.image_dir, self.image_paths[index])
@@ -85,7 +90,7 @@ class VgSceneGraphDataset:
             obj_idxs_without_rels.discard(s)
             obj_idxs_without_rels.discard(o)
 
-        rng = per_sample_rng(self.seed, self._epoch, index)
+        rng = per_sample_rng(self.seed, epoch, index)
         obj_idxs = list(obj_idxs_with_rels)
         orphans = list(obj_idxs_without_rels)
         if len(obj_idxs) > self.max_objects - 1:

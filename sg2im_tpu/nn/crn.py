@@ -80,7 +80,8 @@ def _packed_kernel_distinct(w):
     """Stock (3,3,CIN,CO) -> packed (2,2,4*CIN,4*CO) for an input whose
     four phases hold distinct fine-grid values."""
     S = jnp.asarray(_phase_select(), w.dtype)
-    k = jnp.einsum("aupd,bvqe,delc->uvpqlabc", S, S, w)
+    k = jnp.einsum("aupd,bvqe,delc->uvpqlabc", S, S, w,
+                   precision="highest")
     return k.reshape(2, 2, 4 * w.shape[2], 4 * w.shape[3])
 
 
@@ -90,7 +91,8 @@ def _packed_kernel_aliased(w):
     the same source pixel merge, giving the 2.25x FLOP cut of the phase
     factoring (see FusedUpsampleConv)."""
     S2 = jnp.asarray(_phase_select().sum(axis=2), w.dtype)  # (a, u, d)
-    k = jnp.einsum("aud,bve,delc->uvlabc", S2, S2, w)
+    k = jnp.einsum("aud,bve,delc->uvlabc", S2, S2, w,
+                   precision="highest")
     return k.reshape(2, 2, w.shape[2], 4 * w.shape[3])
 
 
@@ -125,7 +127,8 @@ class PackedConv3x3(nn.Module):
                           (self.output_dim,))
         dt = self.compute_dtype or x.dtype
         x = x.astype(dt)
-        kp = _packed_kernel_distinct(kernel.astype(dt))
+        # Derive in the param dtype (f32, exact sums), cast once after.
+        kp = _packed_kernel_distinct(kernel).astype(dt)
         out = _packed_conv_apply(x, kp, self.output_dim)
         return out + jnp.tile(bias.astype(dt), 4)
 
@@ -197,7 +200,8 @@ class FusedUpsampleConv(nn.Module):
         # (W[0]+W[1], W[2]).
         T = jnp.asarray([[[1, 0, 0], [0, 1, 1]],
                          [[1, 1, 0], [0, 0, 1]]], dt)
-        K = jnp.einsum("auk,bvl,klio->uviabo", T, T, wf)
+        K = jnp.einsum("auk,bvl,klio->uviabo", T, T, wf,
+                       precision="highest")
         Kb = K.reshape(2, 2, self.feats_dim, 4 * co)
         N, R, Rw, _ = feats.shape
         fpad = jnp.pad(feats, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -232,12 +236,12 @@ class PackedUpsampleConv(nn.Module):
                             (3, 3, cin, co))
         bias = self.param("bias", torch_linear_bias_init(cin * 9), (co,))
         dt = self.compute_dtype or layout_packed.dtype
-        k = kernel.astype(dt)
-        kl = _packed_kernel_distinct(k[:, :, :self.layout_dim])
-        kf = _packed_kernel_aliased(k[:, :, self.layout_dim:])
+        # Derive in the param dtype (f32, exact sums), cast once after.
+        kl = _packed_kernel_distinct(kernel[:, :, :self.layout_dim])
+        kf = _packed_kernel_aliased(kernel[:, :, self.layout_dim:])
         x = jnp.concatenate(
             [layout_packed.astype(dt), feats.astype(dt)], axis=-1)
-        kp = jnp.concatenate([kl, kf], axis=2)
+        kp = jnp.concatenate([kl, kf], axis=2).astype(dt)
         out = _packed_conv_apply(x, kp, co)
         return out + jnp.tile(bias.astype(dt), 4)
 

@@ -48,13 +48,32 @@ def init_multihost() -> tuple[int, int]:
     call when already initialized or on a single process.  Returns
     ``(process_index, process_count)`` — feed these to
     ``PaddedLoader(shard=...)`` so every host loads a disjoint slice.
+
+    MUST run before any JAX call that initializes the XLA backend (even
+    ``jax.devices()``/``jax.process_count()``), so the no-op probe here is
+    ``jax.distributed.is_initialized()``, which touches nothing.  When a
+    coordinator IS configured but ``initialize()`` fails, that is raised
+    rather than swallowed — silently degrading to N independent
+    single-process runs (each training on the full dataset) is the worst
+    possible failure mode.
     """
-    if jax.process_count() == 1:
+    import os
+
+    if not jax.distributed.is_initialized():
         try:
             jax.distributed.initialize()
         except (ValueError, RuntimeError) as e:
-            # Single-process run with no coordinator configured — that's a
-            # valid degenerate multihost setup, not an error.
+            configured = any(os.environ.get(k) for k in (
+                "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+            if configured:
+                raise RuntimeError(
+                    "multihost: a coordinator is configured but "
+                    "jax.distributed.initialize() failed (most often: the "
+                    "XLA backend was already initialized before "
+                    "init_multihost — it must be the first JAX touch)"
+                ) from e
+            # No coordinator configured: a valid degenerate single-process
+            # multihost setup, not an error.
             print(f"multihost: running single-process ({e})")
     return jax.process_index(), jax.process_count()
 

@@ -240,6 +240,14 @@ class Trainer:
         for batch in batches:
             if num_samples is not None and seen >= num_samples:
                 break
+            if self.mesh is not None:
+                # Multi-host: per-process local val shards assemble into a
+                # global batch exactly like the train step — eval over a
+                # mere local slice would record 1/process_count of the
+                # sweep as the global validation result, and differing
+                # per-process jit inputs violate the multi-controller
+                # contract.
+                batch = shard_batch(batch, self.mesh)
             N = batch["imgs"].shape[0]
             noise = None
             if c.layout_noise_dim > 0:
@@ -257,6 +265,17 @@ class Trainer:
         avg_iou = tot_iou / max(tot_objs, 1.0)
         if not return_samples:
             return mean_losses, avg_iou
+        if last_batch is None:
+            # Zero batches swept (e.g. num_val_samples < batch_size with
+            # drop_last): degrade gracefully instead of crashing at the
+            # first checkpoint.
+            return mean_losses, {}, {}, avg_iou
+        if jax.process_count() > 1:
+            # Multi-host: the swept batches are global arrays whose shards
+            # are not all addressable here, so the numpy sample dump is
+            # impossible without an allgather.  Losses/IoU above are
+            # already global; skip the (inspection-only) sample arrays.
+            return mean_losses, {}, {}, avg_iou
         from sg2im_tpu.data.transforms import imagenet_deprocess_batch
 
         samples = self.sample_triptych(state, last_batch,

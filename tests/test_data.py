@@ -378,6 +378,56 @@ def test_loader_deterministic_across_workers(tmp_path):
                for x, y in zip(ep1, ep2))
 
 
+def test_loader_epoch_bound_per_iterator(tmp_path):
+    """A second iterator (a mid-epoch eval sweep, cli/train.py checkpoint
+    path) must not perturb a live iterator's in-flight samples: the epoch
+    is bound per iterator via getitem_at_epoch, not shared dataset state."""
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+
+    def make_loader():
+        ds = CocoSceneGraphDataset(
+            image_dir=img_dir, instances_json=inst_path,
+            stuff_json=stuff_path, image_size=(16, 16), mask_size=8, seed=5)
+        return PaddedLoader(ds, batch_size=2, O_max=8, T_max=12,
+                            num_workers=2, seed=5, shuffle=True)
+
+    # Clean run: one full epoch, no interference.
+    clean = list(make_loader())
+
+    # Interfered run: start the epoch, then spin up (and drain) a second
+    # iterator mid-epoch before consuming the rest.
+    loader = make_loader()
+    it = iter(loader)
+    got = [next(it)]
+    list(iter(loader))  # the "eval sweep"
+    got.extend(it)
+
+    assert len(got) == len(clean)
+    for ba, bb in zip(got, clean):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+
+def test_check_model_empty_loader_returns_gracefully():
+    """return_samples=True with zero swept batches (num_val_samples <
+    batch_size under drop_last) must not crash at the first checkpoint."""
+    from sg2im_tpu.train.config import TrainConfig
+    from sg2im_tpu.train.trainer import Trainer
+
+    vocab = {"object_idx_to_name": [f"o{i}" for i in range(7)],
+             "pred_idx_to_name": [f"p{i}" for i in range(3)]}
+    config = TrainConfig(dataset="coco", batch_size=2, image_size=(16, 16),
+                         pad_objects_to=4, pad_triples_to=6, mask_size=0,
+                         layout_noise_dim=4,
+                         refinement_network_dims=(16, 8))
+    trainer = Trainer(config, vocab)
+    state = trainer.init_state(seed=0)
+    losses, samples, batch_data, iou = trainer.check_model(
+        state, iter(()), return_samples=True)
+    assert losses == {} and samples == {} and batch_data == {}
+    assert iou == 0.0
+
+
 def test_coco_no_relationships(tmp_path):
     """include_relationships=False -> only __in_image__ triples (the
     no_relations ablation's data path, reference coco.py:323)."""

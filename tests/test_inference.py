@@ -51,20 +51,15 @@ MODEL_KWARGS = dict(
 
 
 @pytest.fixture()
-def torch04_semantics(monkeypatch):
-    orig = F.grid_sample
+def torch04_semantics():
+    # Shared shim (sg2im_tpu.ckpt.torch_compat): align_corners=True
+    # grid_sample + zeroed layout noise so reference and TPU paths are
+    # comparable.
+    from sg2im_tpu.ckpt.torch_compat import (
+        torch04_semantics as t04, zeros_randn_override)
 
-    def gs(input, grid, **kw):
-        kw.setdefault("align_corners", True)
-        return orig(input, grid, **kw)
-
-    monkeypatch.setattr(F, "grid_sample", gs)
-    # Zero the layout noise so reference and TPU paths are comparable.
-    monkeypatch.setattr(
-        torch, "randn",
-        lambda *shape, **kw: torch.zeros(
-            *shape, dtype=kw.get("dtype"), device=kw.get("device")),
-    )
+    with t04(randn_override=zeros_randn_override):
+        yield
 
 
 def _make_reference_checkpoint(tmp_path):

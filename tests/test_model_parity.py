@@ -40,17 +40,14 @@ VOCAB = {
 
 
 @pytest.fixture(autouse=True)
-def _torch04_grid_sample(monkeypatch):
-    """Pin torch-0.4 grid_sample semantics for the reference code."""
-    orig = F.grid_sample
+def _torch04_grid_sample():
+    """Pin torch-0.4 grid_sample semantics for the reference code (shared
+    shim, sg2im_tpu.ckpt.torch_compat)."""
+    from sg2im_tpu.ckpt.torch_compat import torch04_semantics
 
-    def grid_sample_04(input, grid, **kw):
-        kw.setdefault("align_corners", True)
-        kw.setdefault("padding_mode", "zeros")
-        return orig(input, grid, **kw)
-
-    monkeypatch.setattr(F, "grid_sample", grid_sample_04)
-    torch.manual_seed(0)
+    with torch04_semantics():
+        torch.manual_seed(0)
+        yield
 
 
 def _randomize_bn_stats(module):
