@@ -342,9 +342,15 @@ def export_torch_checkpoint(path, generator_variables, model_kwargs, vocab,
     (``scripts/run_model.py:56-58``)."""
     import torch
 
+    kw = dict(model_kwargs, vocab=vocab)
+    # TPU-only kwargs (e.g. compute_dtype, a jnp dtype object) would make
+    # the .pt unreadable without jax installed and are meaningless to the
+    # upstream Sg2ImModel — drop them.
+    kw.pop("compute_dtype", None)
+    kw.pop("crn_mode", None)
     ckpt = {
         "model_state": convert_variables_to_torch_state(generator_variables),
-        "model_kwargs": dict(model_kwargs, vocab=vocab),
+        "model_kwargs": kw,
         "args": dict(args or {}),
     }
     torch.save(ckpt, path)

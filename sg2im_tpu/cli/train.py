@@ -95,6 +95,11 @@ def build_parser():
     p.add_argument("--print_every", default=10, type=int)
     p.add_argument("--timing", default=False, type=bool_flag)
     p.add_argument("--checkpoint_every", default=10000, type=int)
+    p.add_argument("--snapshot_every", default=-1, type=int,
+                   help="also emit reference-layout snapshot_%%05dK.pt "
+                        "generator checkpoints every N iterations "
+                        "(consumable by sample_images snapshot dirs and "
+                        "the upstream torch scripts; extension flag)")
     p.add_argument("--output_dir", default=os.getcwd())
     p.add_argument("--checkpoint_name", default="checkpoint")
     p.add_argument("--checkpoint_start_from", default=None)
@@ -395,6 +400,26 @@ def main(argv=None):
                                    else v) for k, v in history.items()},
                         arrays=sample_history)
                     print("Saved checkpoint to", ckpt_path)
+
+                if (config.snapshot_every > 0
+                        and t % config.snapshot_every == 0):
+                    import jax
+
+                    if jax.process_index() == 0:
+                        from sg2im_tpu.ckpt.torch_convert import (
+                            export_torch_checkpoint)
+
+                        # Reference-style K-granular names when aligned
+                        # (snapshot_00100K.pt), exact iteration otherwise.
+                        tag = (f"{t // 1000:05d}K" if t % 1000 == 0
+                               else f"{t:07d}")
+                        snap = os.path.join(config.output_dir,
+                                            f"snapshot_{tag}.pt")
+                        export_torch_checkpoint(
+                            snap, jax.device_get(state.g_vars),
+                            config.generator_kwargs(), vocab,
+                            args=dataclasses.asdict(config))
+                        print("Saved snapshot to", snap)
     return 0
 
 

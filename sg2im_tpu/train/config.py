@@ -96,6 +96,7 @@ class TrainConfig:
     restore_from_checkpoint: bool = False
 
     # TPU-native additions (not in the reference)
+    snapshot_every: int = -1   # emit reference-layout snapshot_%05dK.pt
     pad_objects_to: int = 16   # O_max for static shapes
     pad_triples_to: int = 48   # T_max
     seed: int = 0

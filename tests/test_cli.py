@@ -51,13 +51,24 @@ def test_train_cli_and_resume(tmp_path, capsys):
     out_dir = os.path.join(tmp_path, "run")
     os.makedirs(out_dir)
     flags = _coco_flags(tmp_path) + [
-        "--num_iterations", "4", "--output_dir", out_dir]
+        "--num_iterations", "4", "--output_dir", out_dir,
+        "--snapshot_every", "3"]
     assert main(flags) == 0
     captured = capsys.readouterr().out
     assert "t = 4 / 4" in captured
     assert "val iou:" in captured
     ckpt = os.path.join(out_dir, "checkpoint_state")
     assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
+
+    # --snapshot_every emits a reference-layout .pt readable by the
+    # converter (and the sample_images snapshot-dir workflow).
+    snap = os.path.join(out_dir, "snapshot_0000003.pt")
+    assert os.path.exists(snap), os.listdir(out_dir)
+    from sg2im_tpu.ckpt.torch_convert import convert_checkpoint
+
+    bundle = convert_checkpoint(snap)
+    assert bundle["generator"] is not None
+    assert "compute_dtype" not in bundle["model_kwargs"]
 
     # Triptych samples + batch data persist per eval (reference
     # train.py:611-661 checkpoint keys).
