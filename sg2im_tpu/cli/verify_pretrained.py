@@ -153,6 +153,20 @@ def main(args=None):
         noise = np.zeros((N, H, W, nd), np.float32)
         ref_raw = _run_reference_model(
             args.reference_repo, args.checkpoint, scene_graphs, noise)
+        if np.isnan(ref_raw).any():
+            # Untrained/random checkpoints predict degenerate boxes (the
+            # final-ReLU box head zeroes coordinates -> width/height 0);
+            # the reference's grid math divides by that extent
+            # (sg2im/layout.py:117-118) and NaNs, while this
+            # implementation's tent formulation zeroes those samples.
+            # PSNR vs an all-NaN reference is meaningless — flag it.
+            n = int(np.isnan(ref_raw).sum())
+            print(f"WARNING: the REFERENCE forward produced {n} NaN pixels "
+                  f"on this checkpoint (degenerate predicted boxes — "
+                  f"expected for untrained weights, never for the released "
+                  f"pretrained models). ref_* PSNR below is not a fidelity "
+                  f"signal; our own output is NaN-free: "
+                  f"{not np.isnan(raw).any()}")
         ref_u8 = imagenet_deprocess_batch(ref_raw)
         for path, off, n in spans:
             results[f"ref_raw:{os.path.basename(path)}"] = psnr(
