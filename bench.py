@@ -21,23 +21,13 @@ import time
 import numpy as np
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: first run pays the 2-4 min compile,
-    subsequent runs (incl. the driver's bench invocation) start hot."""
-    import jax
+import sys
 
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sg2im_tpu.utils.compile_cache import enable_compile_cache
 
-_enable_compile_cache()
+enable_compile_cache()
 
 
 def flagship_setup(batch: int = 32):

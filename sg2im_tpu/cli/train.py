@@ -239,6 +239,8 @@ def main(argv=None):
         print(f"multihost: process {proc}/{nproc}, {ndev} global devices "
               f"({jax.local_device_count()} local)")
 
+    import jax  # after init_multihost: importing jax does not init the backend
+
     from sg2im_tpu.data.loader import PaddedLoader, prefetch_to_device
     from sg2im_tpu.utils.compile_cache import enable_compile_cache
 
@@ -402,24 +404,22 @@ def main(argv=None):
                     print("Saved checkpoint to", ckpt_path)
 
                 if (config.snapshot_every > 0
-                        and t % config.snapshot_every == 0):
-                    import jax
+                        and t % config.snapshot_every == 0
+                        and jax.process_index() == 0):
+                    from sg2im_tpu.ckpt.torch_convert import (
+                        export_torch_checkpoint)
 
-                    if jax.process_index() == 0:
-                        from sg2im_tpu.ckpt.torch_convert import (
-                            export_torch_checkpoint)
-
-                        # Reference-style K-granular names when aligned
-                        # (snapshot_00100K.pt), exact iteration otherwise.
-                        tag = (f"{t // 1000:05d}K" if t % 1000 == 0
-                               else f"{t:07d}")
-                        snap = os.path.join(config.output_dir,
-                                            f"snapshot_{tag}.pt")
-                        export_torch_checkpoint(
-                            snap, jax.device_get(state.g_vars),
-                            config.generator_kwargs(), vocab,
-                            args=dataclasses.asdict(config))
-                        print("Saved snapshot to", snap)
+                    # Reference-style K-granular names when aligned
+                    # (snapshot_00100K.pt), exact iteration otherwise.
+                    tag = (f"{t // 1000:05d}K" if t % 1000 == 0
+                           else f"{t:07d}")
+                    snap = os.path.join(config.output_dir,
+                                        f"snapshot_{tag}.pt")
+                    export_torch_checkpoint(
+                        snap, jax.device_get(state.g_vars),
+                        config.generator_kwargs(), vocab,
+                        args=dataclasses.asdict(config))
+                    print("Saved snapshot to", snap)
     return 0
 
 
