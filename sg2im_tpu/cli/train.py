@@ -327,6 +327,7 @@ def main(argv=None):
     # msgpack sidecar, not meta.json.
     sample_history = {"train_samples": [], "train_batch_data": [],
                       "val_samples": [], "val_batch_data": []}
+    os.makedirs(config.output_dir, exist_ok=True)
     ckpt_path = os.path.join(config.output_dir,
                              f"{config.checkpoint_name}_state")
     if config.restore_from_checkpoint and os.path.exists(ckpt_path):

@@ -48,8 +48,9 @@ def _coco_flags(tmp_path):
 def test_train_cli_and_resume(tmp_path, capsys):
     from sg2im_tpu.cli.train import main
 
+    # out_dir deliberately NOT pre-created: the CLI must make it (a
+    # snapshot before the first checkpoint crashed otherwise).
     out_dir = os.path.join(tmp_path, "run")
-    os.makedirs(out_dir)
     flags = _coco_flags(tmp_path) + [
         "--num_iterations", "4", "--output_dir", out_dir,
         "--snapshot_every", "3"]
