@@ -410,9 +410,13 @@ def main(argv=None):
                     from sg2im_tpu.ckpt.torch_convert import (
                         export_torch_checkpoint)
 
-                    # Reference-style K-granular names when aligned
-                    # (snapshot_00100K.pt), exact iteration otherwise.
-                    tag = (f"{t // 1000:05d}K" if t % 1000 == 0
+                    # One naming scheme per run so sorted(listdir()) is
+                    # chronological (sample_images consumes snapshot dirs
+                    # in name order): reference-style K names when every
+                    # snapshot lands on the 1K grid, exact-iteration names
+                    # otherwise.
+                    tag = (f"{t // 1000:05d}K"
+                           if config.snapshot_every % 1000 == 0
                            else f"{t:07d}")
                     snap = os.path.join(config.output_dir,
                                         f"snapshot_{tag}.pt")

@@ -124,11 +124,14 @@ class PaddedLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _index_batches(self):
+    def _index_batches(self, epoch: int):
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
+            # The epoch is the caller's bound value, not self._epoch: the
+            # producer thread runs this after __iter__ returns, by which
+            # time another iterator may have bumped the shared counter.
+            rng = np.random.RandomState(self.seed + epoch)
             rng.shuffle(idx)
         idx = self._shard_slice(idx)
         n = len(idx)
@@ -170,7 +173,7 @@ class PaddedLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for batch_idx in self._index_batches():
+                    for batch_idx in self._index_batches(epoch):
                         if stop.is_set():
                             return
                         samples = list(pool.map(fetch, batch_idx))

@@ -192,17 +192,19 @@ class FusedUpsampleConv(nn.Module):
             x = jnp.concatenate([layout, up], axis=-1)
             return _conv(x, k, [(1, 1), (1, 1)]) + bias.astype(dt)
 
-        wl, wf = k[:, :, :self.layout_dim], k[:, :, self.layout_dim:]
+        wl = k[:, :, :self.layout_dim]
         out = _conv(layout, wl, [(1, 1), (1, 1)])
 
         # Per-axis tap aliasing for out[2i+a]: phase a=0 reads sources
         # (i-1, i) with weights (W[0], W[1]+W[2]); a=1 reads (i, i+1) with
-        # (W[0]+W[1], W[2]).
+        # (W[0]+W[1], W[2]).  Derive from the f32 param (exact tap sums),
+        # cast once after — as in the packed modules.
+        wf = kernel[:, :, self.layout_dim:]
         T = jnp.asarray([[[1, 0, 0], [0, 1, 1]],
-                         [[1, 1, 0], [0, 0, 1]]], dt)
+                         [[1, 1, 0], [0, 0, 1]]], kernel.dtype)
         K = jnp.einsum("auk,bvl,klio->uviabo", T, T, wf,
                        precision="highest")
-        Kb = K.reshape(2, 2, self.feats_dim, 4 * co)
+        Kb = K.reshape(2, 2, self.feats_dim, 4 * co).astype(dt)
         N, R, Rw, _ = feats.shape
         fpad = jnp.pad(feats, ((0, 0), (1, 1), (1, 1), (0, 0)))
         big = _conv(fpad, Kb, "VALID").reshape(N, R + 1, Rw + 1, 2, 2, co)

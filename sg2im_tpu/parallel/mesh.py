@@ -63,17 +63,31 @@ def init_multihost() -> tuple[int, int]:
         try:
             jax.distributed.initialize()
         except (ValueError, RuntimeError) as e:
-            configured = any(os.environ.get(k) for k in (
-                "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+            # 'Configured' must cover every path jax.distributed can
+            # auto-detect — an explicit coordinator, SLURM/OpenMPI ranks,
+            # and multislice/megascale env — not just the JAX env vars:
+            # swallowing a real multi-process init failure degrades the
+            # job to N independent full-dataset runs with no error.
+            env = os.environ
+            configured = (
+                any(env.get(k) for k in (
+                    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS"))
+                or int(env.get("SLURM_NTASKS") or 0) > 1
+                or int(env.get("OMPI_COMM_WORLD_SIZE") or 0) > 1
+                or int(env.get("TPU_WORKER_COUNT") or 0) > 1)
             if configured:
                 raise RuntimeError(
-                    "multihost: a coordinator is configured but "
-                    "jax.distributed.initialize() failed (most often: the "
-                    "XLA backend was already initialized before "
+                    "multihost: a multi-process environment is configured "
+                    "but jax.distributed.initialize() failed (most often: "
+                    "the XLA backend was already initialized before "
                     "init_multihost — it must be the first JAX touch)"
                 ) from e
-            # No coordinator configured: a valid degenerate single-process
-            # multihost setup, not an error.
+            # No coordinator configured anywhere: a valid degenerate
+            # single-process multihost setup, not an error.  (On TPU pods
+            # coordination is auto-detected from metadata and initialize()
+            # normally succeeds; a pod-side connection failure cannot be
+            # distinguished from no-cluster here, hence the loud print.)
             print(f"multihost: running single-process ({e})")
     return jax.process_index(), jax.process_count()
 
@@ -104,3 +118,18 @@ def replicate_state(state, mesh: Mesh):
     """Replicate a train state (or any pytree) across the mesh."""
     sh = replicated(mesh)
     return jax.device_put(state, sh)
+
+
+def replicate_host_array(x, mesh: Mesh):
+    """Identical per-process host data -> a replicated global array.
+
+    Multi-controller safe: a plain ``device_put`` onto a mesh spanning
+    non-addressable devices is rejected, and passing a host-local array
+    into jit alongside global arrays mixes device sets.  Every process
+    must pass the SAME values (e.g. noise drawn from a step-derived key).
+    """
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+    return jax.device_put(x, sh)

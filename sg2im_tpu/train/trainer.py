@@ -253,6 +253,14 @@ class Trainer:
             if c.layout_noise_dim > 0:
                 rng, k = jax.random.split(rng)
                 noise = jax.random.normal(k, (N, H, W, c.layout_noise_dim))
+                if self.mesh is not None:
+                    # The key is step-derived, so every process draws the
+                    # same values; replicate them as a global array (a
+                    # host-local array mixed with globally-sharded batch
+                    # inputs is rejected by jit under multi-controller).
+                    from sg2im_tpu.parallel.mesh import replicate_host_array
+
+                    noise = replicate_host_array(noise, self.mesh)
             losses, iou_sum, n_objs, preds = self._eval_step(
                 state.g_vars, batch, noise)
             for k2, v in losses.items():
