@@ -59,6 +59,16 @@ def init_multihost() -> tuple[int, int]:
     """
     import os
 
+    # Manual launch path (clusters without SLURM/TPU metadata): set
+    # SG2IM_COORDINATOR=host:port, SG2IM_NUM_PROCESSES, SG2IM_PROCESS_ID
+    # on every process.  scripts/multihost_proof.py uses this to run a
+    # REAL 2-process multi-controller job on CPU.
+    addr = os.environ.get("SG2IM_COORDINATOR")
+    if addr and not jax.distributed.is_initialized():
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["SG2IM_NUM_PROCESSES"]),
+            process_id=int(os.environ["SG2IM_PROCESS_ID"]))
     if not jax.distributed.is_initialized():
         try:
             jax.distributed.initialize()

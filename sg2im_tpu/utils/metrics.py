@@ -24,7 +24,11 @@ def jaccard(bbox_pred, bbox_gt, mask=None):
     area_gt = ((bbox_gt[..., 2] - bbox_gt[..., 0])
                * (bbox_gt[..., 3] - bbox_gt[..., 1]))
     union = area_pred + area_gt - inter
-    iou = inter / union
+    # Guard 0/0: padded rows (zero GT) with degenerate predictions (the
+    # final-ReLU box head zeroes coordinates early in training) would emit
+    # NaN, and NaN*mask poisons the masked sum.  Real GT boxes always have
+    # positive area, so the reference (ragged, no padding) never hits this.
+    iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
     if mask is not None:
         iou = iou * mask.astype(iou.dtype)
     return iou.sum()

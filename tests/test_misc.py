@@ -145,3 +145,12 @@ def test_utils():
     boxes = jnp.asarray([[0.0, 0.0, 1.0, 1.0], [0.0, 0.0, 0.5, 0.5]])
     iou = float(jaccard(boxes, boxes))
     assert abs(iou - 2.0) < 1e-6
+
+    # 0/0 guard: a padded row (zero GT) with a degenerate all-zero
+    # prediction must contribute 0, not NaN (NaN*mask poisons the sum).
+    zero = jnp.zeros((1, 4))
+    gt = jnp.asarray([[0.0, 0.0, 1.0, 1.0]])
+    both = jnp.concatenate([gt, zero])
+    masked = float(jaccard(jnp.zeros((2, 4)), both,
+                           mask=jnp.asarray([1.0, 0.0])))
+    assert masked == 0.0 and masked == masked  # finite, not NaN
