@@ -33,6 +33,32 @@ TINY_FLAGS = [
 ]
 
 
+def test_train_cli_vg(tmp_path, capsys):
+    """VG train path through the CLI (h5 + vocab.json + images): the COCO
+    smoke covers the loop; this pins the VG dataset/pad wiring
+    (pad_triples_to derived from the h5's true relationship cap)."""
+    import json
+
+    from sg2im_tpu.cli.train import main
+
+    vocab, h5_path, img_dir = _fake_vg(str(tmp_path))
+    vocab_json = os.path.join(tmp_path, "vocab.json")
+    with open(vocab_json, "w") as f:
+        json.dump(vocab, f)
+    out_dir = os.path.join(tmp_path, "vgrun")
+    flags = TINY_FLAGS + [
+        "--dataset", "vg", "--train_h5", h5_path, "--val_h5", h5_path,
+        "--vocab_json", vocab_json, "--vg_image_dir", img_dir,
+        "--max_objects_per_image", "6", "--batch_size", "2",
+        "--num_iterations", "2", "--checkpoint_every", "2",
+        "--num_val_samples", "2", "--output_dir", out_dir]
+    assert main(flags) == 0
+    captured = capsys.readouterr().out
+    assert "t = 2 / 2" in captured and "val iou:" in captured
+    assert os.path.exists(
+        os.path.join(out_dir, "checkpoint_state", "state.msgpack"))
+
+
 def _coco_flags(tmp_path):
     img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
     return TINY_FLAGS + [
