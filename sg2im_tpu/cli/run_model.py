@@ -35,6 +35,10 @@ def build_parser():
     parser.add_argument("--layout_noise_npy", default=None,
                         help="Optional .npy (N, H, W, D) noise tensor for "
                              "bit-reproducible comparisons.")
+    parser.add_argument("--bf16_compute", type=int, default=0,
+                        help="bf16 CRN activation chain (+4%% throughput at "
+                             "64 dB PSNR vs f32; default off for exact-f32 "
+                             "reference numerics)")
     return parser
 
 
@@ -50,7 +54,13 @@ def main(args=None):
 
     enable_compile_cache()
 
-    engine = InferenceEngine.from_torch_checkpoint(args.checkpoint)
+    compute_dtype = None
+    if args.bf16_compute:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    engine = InferenceEngine.from_torch_checkpoint(
+        args.checkpoint, compute_dtype=compute_dtype)
 
     with open(args.scene_graphs_json) as f:
         scene_graphs = json.load(f)

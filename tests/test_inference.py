@@ -135,6 +135,17 @@ def test_run_model_cli(tmp_path, torch04_semantics):
     img = np.asarray(Image.open(os.path.join(out_dir, "img000000.png")))
     assert img.shape == (32, 32, 3)
 
+    # --bf16_compute perf mode: runs, and stays close to the f32 output.
+    out_bf16 = os.path.join(tmp_path, "out_bf16")
+    rc = main(["--checkpoint", ckpt_path, "--scene_graphs_json", sg_path,
+               "--output_dir", out_bf16, "--noise", "zeros",
+               "--bf16_compute", "1"])
+    assert rc == 0
+    img_b = np.asarray(Image.open(os.path.join(out_bf16, "img000000.png")))
+    from sg2im_tpu.utils.metrics import psnr
+
+    assert psnr(img_b, img) > 35  # u8-space; deprocess rescale amplifies
+
 
 def test_engine_batch_bucketing(tmp_path, torch04_semantics):
     """Different graph counts within a bucket share one compiled program
