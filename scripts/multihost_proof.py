@@ -95,6 +95,10 @@ def main():
     ap.add_argument("--out", default="/tmp/multihost_proof")
     ap.add_argument("--report", default=os.path.join(REPO,
                                                      "MULTIHOST_PROOF.md"))
+    ap.add_argument("--ckpt_backend", default="msgpack",
+                    choices=["msgpack", "orbax"],
+                    help="msgpack = process-0-only write; orbax = "
+                         "collective multi-process save")
     args = ap.parse_args()
 
     if args.child is not None:
@@ -114,6 +118,7 @@ def main():
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
         SG2IM_COORDINATOR=f"localhost:{PORT}",
         SG2IM_NUM_PROCESSES="2",
+        SG2IM_TPU_CKPT=args.ckpt_backend,
     )
     t0 = time.perf_counter()
     procs, logs = [], []
@@ -141,7 +146,12 @@ def main():
                for _, v in ((n, float(v)) for n, v in l0)), "non-finite loss"
 
     ckpt = os.path.join(args.out, "run", "checkpoint_state")
-    assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
+    if args.ckpt_backend == "orbax":
+        # Collective save: the orbax state dir must exist and be committed.
+        assert os.path.isdir(os.path.join(ckpt, "state_orbax")), \
+            os.listdir(ckpt)
+    else:
+        assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
 
     with open(args.report, "w") as f:
         f.write(f"""# Two-process multi-controller proof (scripts/multihost_proof.py)
