@@ -19,18 +19,20 @@ import jax.numpy as jnp
 
 def masked_mean(x, mask=None):
     """Mean over all elements, or over mask==1 elements (mask broadcastable
-    against x; trailing axes of x beyond mask's rank are averaged too)."""
+    against x; trailing axes of x beyond mask's rank are averaged too).
+
+    Numerator and denominator use the SAME broadcast mask, so size-1 mask
+    axes within x's rank count every broadcast element (a bare
+    ``mask.sum() * trailing`` would undercount them and silently scale
+    the loss).  ``where`` (not ``x*m``) keeps masked-out NaN/inf entries
+    from poisoning the sum."""
     if mask is None:
         return x.mean()
     mask = mask.astype(x.dtype)
     extra = x.ndim - mask.ndim
-    m = mask.reshape(mask.shape + (1,) * extra)
-    # Real scalar element count: mask entries times trailing element count.
-    trailing = 1
-    for d in x.shape[mask.ndim:]:
-        trailing *= d
-    denom = jnp.maximum(mask.sum() * trailing, 1.0)
-    return (x * m).sum() / denom
+    m = jnp.broadcast_to(mask.reshape(mask.shape + (1,) * extra), x.shape)
+    denom = jnp.maximum(m.sum(), 1.0)
+    return (jnp.where(m > 0, x, 0.0) * m).sum() / denom
 
 
 def bce_with_logits(logits, targets):
@@ -97,9 +99,15 @@ def mse_loss(pred, target, mask=None):
 
 def cross_entropy(logits, labels, mask=None):
     """Masked softmax cross-entropy (AC / predicate losses,
-    ``scripts/train.py:399-404``, ``discriminators.py:74``)."""
+    ``scripts/train.py:399-404``, ``discriminators.py:74``).
+
+    Out-of-range labels on MASKED rows are tolerated (clipped before the
+    gather): ``take_along_axis`` fills out-of-range with NaN, and even a
+    masked NaN would otherwise poison the mean — e.g. a loader padding
+    labels with -1."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     return masked_mean(nll, mask)
 
 

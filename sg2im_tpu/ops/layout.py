@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sg2im_tpu.ops.sampling import tent_weights
+from sg2im_tpu.ops.sampling import separable_sample, tent_weights
 
 
 def box_warp_coords(boxes, out_size: int, in_size: int, axis: int):
@@ -81,8 +81,7 @@ def mask_warp(boxes, masks, H: int, W: int):
     """
     M_h, M_w = masks.shape[-2:]
     wy, wx = box_warp_weights(boxes, H, W, M_h, M_w)
-    t = jnp.einsum("...yi,...ij->...yj", wy, masks, precision="highest")
-    return jnp.einsum("...yj,...xj->...yx", t, wx, precision="highest")
+    return separable_sample(masks, wy, wx)
 
 
 def box_warp(boxes, H: int, W: int, tile: int = 8):
@@ -181,18 +180,21 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
             wy, wx = box_warp_weights(boxes, H, W, M_h, M_w)
             out = fused_layout_compose(
                 wy, wx, masks, v, backend == "pallas-interpret")
-        return _apply_avg(out, obj_mask, pooling)
+        return _apply_avg(out, obj_mask, pooling, vecs.shape[1])
     return _compose(mask_warp(boxes, masks, H, W), vecs, obj_mask, pooling)
 
 
-def _apply_avg(out, obj_mask, pooling: str):
+def _apply_avg(out, obj_mask, pooling: str, num_objs: int):
     if pooling == "sum":
         return out
     if pooling != "avg":
         raise ValueError(f'Invalid pooling "{pooling}"')
     if obj_mask is None:
-        raise ValueError("avg pooling needs obj_mask on the fused path")
-    counts = jnp.maximum(obj_mask.astype(out.dtype).sum(-1), 1.0)
+        # All slots real — same counts=O convention as _compose, so the
+        # fused and XLA backends behave identically for identical args.
+        counts = jnp.full((out.shape[0],), float(num_objs), out.dtype)
+    else:
+        counts = jnp.maximum(obj_mask.astype(out.dtype).sum(-1), 1.0)
     return out / counts[:, None, None, None]
 
 

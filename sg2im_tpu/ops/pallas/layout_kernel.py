@@ -62,7 +62,8 @@ def _compose_kernel(wy_ref, wx_ref, m_ref, v_ref, out_ref):
         flat, vecs, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)            # (TH*W, D)
-    out_ref[0] = out.reshape(TH, W, vecs.shape[-1])
+    out_ref[0] = out.reshape(TH, W, vecs.shape[-1]).astype(
+        out_ref.dtype)
 
 
 def _pallas_compose(wy, wx, masks, vecs, interpret: bool):
@@ -77,7 +78,10 @@ def _pallas_compose(wy, wx, masks, vecs, interpret: bool):
             vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         _compose_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, H, W, D), jnp.float32),
+        # Input dtype out, matching the XLA path (a hard-coded f32 would
+        # silently diverge across backends for bf16 inputs and break the
+        # custom VJP's cotangent dtype).
+        out_shape=jax.ShapeDtypeStruct((N, H, W, D), vecs.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, O, TH, M), lambda n, h: (n, 0, h, 0)),
@@ -99,8 +103,9 @@ def _pallas_compose(wy, wx, masks, vecs, interpret: bool):
 
 def _jnp_compose(wy, wx, masks, vecs):
     """Reference jnp path (identical math; used for VJP + fallback)."""
-    tmp = jnp.einsum("nohi,noij->nohj", wy, masks, precision="highest")
-    warp = jnp.einsum("nohj,nowj->nohw", tmp, wx, precision="highest")
+    from sg2im_tpu.ops.sampling import separable_sample
+
+    warp = separable_sample(masks, wy, wx)  # (N, O, H, W)
     N, O, H, W = warp.shape
     return jnp.einsum("noP,nod->nPd", warp.reshape(N, O, H * W), vecs,
                       precision="highest").reshape(N, H, W, -1)
@@ -208,7 +213,8 @@ def _make_v2_kernel(H: int, W: int, TH: int, M: int):
             flat, vecs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        out_ref[0] = out.reshape(TH, W, vecs.shape[-1])
+        out_ref[0] = out.reshape(TH, W, vecs.shape[-1]).astype(
+        out_ref.dtype)
 
     return kernel
 
@@ -224,7 +230,7 @@ def _pallas_compose_v2(boxes, masks, vecs, H, W, interpret: bool):
             vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         _make_v2_kernel(H, W, TH, M),
-        out_shape=jax.ShapeDtypeStruct((N, H, W, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, D), vecs.dtype),
         grid=(N, H // TH),
         in_specs=[
             pl.BlockSpec((1, O, 4), lambda n, h: (n, 0, 0)),

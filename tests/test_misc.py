@@ -154,3 +154,26 @@ def test_utils():
     masked = float(jaccard(jnp.zeros((2, 4)), both,
                            mask=jnp.asarray([1.0, 0.0])))
     assert masked == 0.0 and masked == masked  # finite, not NaN
+
+
+def test_masked_losses_edge_cases():
+    from sg2im_tpu.losses import cross_entropy, masked_mean
+
+    # Broadcast (size-1) mask axes: denominator must count broadcast
+    # elements, matching the numerator's broadcast.
+    got = float(masked_mean(jnp.full((2, 3), 2.0),
+                            mask=jnp.asarray([[1.0], [0.0]])))
+    assert abs(got - 2.0) < 1e-6
+
+    # Out-of-range labels on masked rows (e.g. a -1 padding convention)
+    # must not NaN the mean (take_along_axis fills OOR with NaN).
+    logits = jnp.zeros((2, 3, 5))
+    labels = jnp.asarray([[0, 1, 7], [2, -1, 0]])
+    mask = jnp.asarray([[1.0, 1.0, 0.0], [1.0, 0.0, 1.0]])
+    ce = float(cross_entropy(logits, labels, mask))
+    assert ce == ce  # finite
+    assert abs(ce - float(np.log(5.0))) < 1e-5  # uniform logits
+
+    # Masked NaN entries in the loss tensor itself must not leak through.
+    x = jnp.asarray([[1.0, float("nan")]])
+    assert float(masked_mean(x, mask=jnp.asarray([[1.0, 0.0]]))) == 1.0
