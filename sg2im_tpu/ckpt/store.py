@@ -120,8 +120,10 @@ def load_checkpoint(path: str, template):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        arr_template = jax.tree.map(
-            np.asarray, jax.device_get(template))
+        # _to_host, not device_get: a multi-host replicated template spans
+        # non-addressable devices, which device_get refuses (the save path
+        # already handles this case).
+        arr_template = jax.tree.map(_to_host, template)
         state = ckptr.restore(orbax_path, arr_template)
         # Restore original leaf types (TrainState is a flax struct; leaves
         # come back as numpy arrays which jit happily consumes).

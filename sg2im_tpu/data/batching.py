@@ -84,8 +84,12 @@ def pad_graphs(
     boxes = None if boxes_list is None else np.zeros((N, O, 4), np.float32)
     masks = None
     if masks_list is not None:
-        M = masks_list[0].shape[-1]
-        masks = np.zeros((N, O, M, M), np.float32)
+        # First non-None entry defines the mask size (per-entry None is
+        # supported in the fill loop below); all-None degrades to no masks.
+        present = [m for m in masks_list if m is not None]
+        if present:
+            M = present[0].shape[-1]
+            masks = np.zeros((N, O, M, M), np.float32)
 
     for n in range(N):
         o = np.asarray(objs_list[n])
@@ -116,23 +120,31 @@ def flat_to_padded(objs, triples, obj_to_img, boxes=None, masks=None,
     objs_list, triples_list = [], []
     boxes_list = [] if boxes is not None else None
     masks_list = [] if masks is not None else None
-    offset = 0
+    # Global -> within-image local slot map.  A cumulative offset would
+    # only be correct for ascending obj_to_img; the reference's collate
+    # emits sorted routing, but this is a public converter, so handle
+    # arbitrary order.
+    local_idx = np.zeros(len(objs), np.int64)
     # Triple ownership follows its subject's image (reference builds triples
     # within images only).
-    t_img = obj_to_img[triples[:, 0]]
+    t_img = obj_to_img[triples[:, 0]] if len(triples) else obj_to_img[:0]
+    per_image_idx = []
     for n in range(N):
-        sel = obj_to_img == n
-        idx = np.nonzero(sel)[0]
+        idx = np.nonzero(obj_to_img == n)[0]
+        per_image_idx.append(idx)
+        local_idx[idx] = np.arange(len(idx))
+    for n in range(N):
+        idx = per_image_idx[n]
         objs_list.append(objs[idx])
         tsel = triples[t_img == n].copy()
-        tsel[:, 0] -= offset
-        tsel[:, 2] -= offset
+        if len(tsel):
+            tsel[:, 0] = local_idx[tsel[:, 0]]
+            tsel[:, 2] = local_idx[tsel[:, 2]]
         triples_list.append(tsel)
         if boxes_list is not None:
             boxes_list.append(np.asarray(boxes)[idx])
         if masks_list is not None:
             masks_list.append(np.asarray(masks)[idx])
-        offset += len(idx)
     return pad_graphs(objs_list, triples_list, boxes_list, masks_list,
                       O_max=O_max, T_max=T_max, align=align)
 

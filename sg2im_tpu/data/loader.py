@@ -56,6 +56,13 @@ def collate_padded(samples, O_max: int, T_max: int, drop_excess: bool = True):
         if O > O_max:
             if not drop_excess:
                 raise ValueError(f"graph with {O} objects > O_max={O_max}")
+            global _TRUNC_WARNED
+            if not _TRUNC_WARNED:
+                _TRUNC_WARNED = True
+                warnings.warn(
+                    f"collate_padded: graph with {O} objects truncated to "
+                    f"O_max={O_max} (their relationships drop too); raise "
+                    f"pad_objects_to to keep all objects", stacklevel=2)
             # keep first O_max-1 + the __image__ node (last)
             keep = list(range(O_max - 1)) + [O - 1]
             remap = {k: i for i, k in enumerate(keep)}
@@ -68,7 +75,6 @@ def collate_padded(samples, O_max: int, T_max: int, drop_excess: bool = True):
                             if has_masks else None))
             O = O_max
         if len(triples) > T_max:
-            global _TRUNC_WARNED
             if not _TRUNC_WARNED:
                 _TRUNC_WARNED = True
                 warnings.warn(
@@ -103,7 +109,9 @@ class PaddedLoader:
         self.T_max = T_max
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
-        self.prefetch = prefetch
+        # Queue(maxsize<=0) is UNBOUNDED per the stdlib contract — the
+        # producer would decode the whole epoch ahead (gigabytes resident).
+        self.prefetch = max(1, prefetch)
         self.seed = seed
         self.drop_last = drop_last
         self.shard = shard

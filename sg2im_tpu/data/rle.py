@@ -9,8 +9,9 @@ rasterization uses PIL's scanline fill, which can differ from pycocotools by
 sub-pixel edge rules — irrelevant after the reference's 16x16 binary mask
 resize, and covered by round-trip tests.
 
-A C fast path (``sg2im_tpu.data._rlecodec``) is used when built; the numpy
-path is the always-available fallback.
+A C fast path (``sg2im_tpu.native``'s ``_rlecodec.so``, built on demand
+from ``native/rlecodec.c``) is used when available; the numpy path is the
+always-available fallback.
 """
 
 from __future__ import annotations

@@ -408,6 +408,28 @@ def test_loader_epoch_bound_per_iterator(tmp_path):
             np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
 
 
+def test_flat_to_padded_unsorted_and_none_masks():
+    """flat_to_padded must remap triple endpoints via a global->local slot
+    map (a cumulative offset is wrong for unsorted obj_to_img), and
+    pad_graphs must tolerate a None FIRST mask entry."""
+    from sg2im_tpu.data.batching import flat_to_padded, pad_graphs
+
+    objs = np.asarray([10, 20, 30], np.int64)        # images [1, 0, 1]
+    obj_to_img = np.asarray([1, 0, 1])
+    triples = np.asarray([[0, 5, 2]])                # both in image 1
+    batch = flat_to_padded(objs, triples, obj_to_img)
+    np.testing.assert_array_equal(batch.objs[0, :1], [20])
+    np.testing.assert_array_equal(batch.objs[1, :2], [10, 30])
+    # Image-1 triple: global 0 -> local 0, global 2 -> local 1.
+    np.testing.assert_array_equal(batch.triples[1, 0], [0, 5, 1])
+    assert batch.triple_mask[1, 0] and not batch.triple_mask[0].any()
+
+    gb = pad_graphs([[1], [2]], [np.zeros((0, 3))] * 2,
+                    masks_list=[None, np.ones((1, 4, 4))])
+    assert gb.masks is not None and gb.masks.shape[-2:] == (4, 4)
+    assert gb.masks[0].sum() == 0 and gb.masks[1, 0].sum() == 16
+
+
 def test_check_model_empty_loader_returns_gracefully():
     """return_samples=True with zero swept batches (num_val_samples <
     batch_size under drop_last) must not crash at the first checkpoint."""
