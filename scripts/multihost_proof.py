@@ -75,7 +75,13 @@ def child(pid: int, data_root: str, out_dir: str, multihost: bool = True):
     jax.config.update("jax_platforms", "cpu")
     from sg2im_tpu.cli.train import main
 
-    rc = main(_train_flags(data_root, out_dir, multihost))
+    flags = _train_flags(data_root, out_dir, multihost)
+    if os.environ.get("SG2IM_PROOF_RESUME"):
+        # Resume leg: restore the first run's checkpoint (t=ITERS) and
+        # train ITERS more — exercises the multi-process restore path.
+        flags += ["--restore_from_checkpoint", "1",
+                  "--num_iterations", str(2 * ITERS)]
+    rc = main(flags)
     raise SystemExit(rc)
 
 
@@ -120,25 +126,31 @@ def main():
         SG2IM_NUM_PROCESSES="2",
         SG2IM_TPU_CKPT=args.ckpt_backend,
     )
+
+    def launch_pair(tag, extra_env=None):
+        procs = []
+        for k in range(2):
+            log = open(os.path.join(args.out, f"proc{k}{tag}.log"), "w")
+            procs.append((log, subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", str(k),
+                 "--data_root", args.data_root, "--out", args.out],
+                env=dict(env_common, SG2IM_PROCESS_ID=str(k),
+                         **(extra_env or {})),
+                stdout=log, stderr=subprocess.STDOUT, cwd=REPO)))
+        rcs = [p.wait(timeout=900) for _, p in procs]
+        [log.close() for log, _ in procs]
+        outs = [open(os.path.join(args.out, f"proc{k}{tag}.log")).read()
+                for k in range(2)]
+        for k in range(2):
+            assert rcs[k] == 0, f"proc{k}{tag} rc={rcs[k]}\n{outs[k][-3000:]}"
+            assert f"multihost: process {k}/2, 8 global devices" in outs[k], \
+                outs[k][-2000:]
+        return outs
+
     t0 = time.perf_counter()
-    procs, logs = [], []
-    for k in range(2):
-        log = open(os.path.join(args.out, f"proc{k}.log"), "w")
-        logs.append(log)
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child", str(k),
-             "--data_root", args.data_root, "--out", args.out],
-            env=dict(env_common, SG2IM_PROCESS_ID=str(k)),
-            stdout=log, stderr=subprocess.STDOUT, cwd=REPO))
-    rcs = [p.wait(timeout=900) for p in procs]
-    [log.close() for log in logs]
+    out = launch_pair("")
     wall = time.perf_counter() - t0
-    out = [open(os.path.join(args.out, f"proc{k}.log")).read()
-           for k in range(2)]
-    for k in range(2):
-        assert rcs[k] == 0, f"proc{k} rc={rcs[k]}\n{out[k][-3000:]}"
-        assert f"multihost: process {k}/2, 8 global devices" in out[k], \
-            out[k][-2000:]
 
     l0, l1 = losses_from(out[0]), losses_from(out[1])
     assert l0 and l0 == l1, "per-process loss traces differ"
@@ -153,6 +165,17 @@ def main():
     else:
         assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
 
+    # Resume leg: restore the t=ITERS checkpoint under both processes and
+    # train ITERS more — the multi-process restore path (template
+    # materialization from non-addressable replicated state).
+    r_out = launch_pair("_resume", {"SG2IM_PROOF_RESUME": "1"})
+    for k in range(2):
+        assert f"Restored checkpoint at t={ITERS}" in r_out[k], \
+            r_out[k][-2000:]
+        assert f"t = {2 * ITERS} / {2 * ITERS}" in r_out[k]
+    r0, r1 = losses_from(r_out[0]), losses_from(r_out[1])
+    assert r0 and r0 == r1, "resume-leg loss traces differ"
+
     with open(args.report, "w") as f:
         f.write(f"""# Two-process multi-controller proof (scripts/multihost_proof.py)
 
@@ -165,8 +188,9 @@ launch), running the production `cli/train --multihost` path.
 | both processes trained {ITERS} iters over 8 global devices | rc=0, "process 0/2" + "process 1/2" |
 | per-host disjoint loader shards -> global batch assembly | loss traces bit-identical across processes |
 | globally-sharded eval sweep (check_model) | val losses printed identically on both |
-| checkpoint written once (process 0) | state.msgpack present |
-| wall time | {wall:.0f} s (2 procs on {os.cpu_count()} CPU core(s)) |
+| checkpoint written (backend: {args.ckpt_backend}) | artifact present |
+| 2-process RESTORE + {ITERS} more iters | "Restored checkpoint at t={ITERS}" on both; identical traces |
+| wall time | {wall:.0f} s first leg (2 procs on {os.cpu_count()} CPU core(s)) |
 
 This exercises for real what the unit tests simulate: distributed init,
 `make_array_from_process_local_data`, multi-controller jit with global
