@@ -41,6 +41,18 @@ def print_args(path: str):
     return 0
 
 
+def _require_pt(ckpt, subcommand: str):
+    """strip/clean operate on .pt dicts; a native store has no
+    model_state here, so proceeding would write a weightless .pt while
+    printing success."""
+    if ckpt.get("_native"):
+        print(f"ERROR: {subcommand} operates on .pt checkpoints; for a "
+              f"native checkpoint directory use "
+              f"'checkpoint_tools export DIR OUT.pt' first")
+        return False
+    return True
+
+
 def strip(in_path: str, out_path: str, keep_discriminators: bool = True):
     """Strip a .pt checkpoint down to inference essentials (reference
     ``scripts/strip_checkpoint.py:54-63``: keep args/model_state/
@@ -48,6 +60,8 @@ def strip(in_path: str, out_path: str, keep_discriminators: bool = True):
     import torch
 
     ckpt = _load_any(in_path)
+    if not _require_pt(ckpt, "strip"):
+        return 1
     keep = ["args", "model_state", "model_kwargs"]
     if keep_discriminators:
         keep += ["d_img_state", "d_img_kwargs", "d_obj_state", "d_obj_kwargs"]
@@ -66,9 +80,12 @@ def clean(in_path: str, out_path: str):
     from sg2im_tpu.ckpt.torch_convert import DEPRECATED_MODEL_KWARGS
 
     ckpt = _load_any(in_path)
+    if not _require_pt(ckpt, "clean"):
+        return 1
     kw = dict(ckpt.get("model_kwargs") or {})
-    removed = [k for k in DEPRECATED_MODEL_KWARGS if kw.pop(k, None)
-               is not None or k in (ckpt.get("model_kwargs") or {})]
+    removed = [k for k in DEPRECATED_MODEL_KWARGS if k in kw]
+    for k in removed:
+        del kw[k]
     ckpt["model_kwargs"] = kw
     torch.save(ckpt, out_path)
     print(f"Wrote {out_path} (removed deprecated kwargs: {removed})")

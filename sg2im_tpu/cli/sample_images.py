@@ -159,16 +159,31 @@ def run_checkpoint(args, checkpoint_path):
 
     rng = jax.random.PRNGKey(args.seed)
     saved = 0
+    save_graphs = args.save_graphs and have_graphviz()
+    if args.save_graphs and not save_graphs:
+        print("WARNING: --save_graphs requested but GraphViz 'dot' is not "
+              "installed; skipping scene-graph renders")
     dump = {"boxes_pred": [], "boxes_gt": [], "objs": [], "obj_mask": [],
             "masks_pred": [], "masks_gt": []}
     for batch in loader:
         if saved >= args.num_samples:
             break
         N = batch["imgs"].shape[0]
+        if N < args.batch_size:
+            # Pad the final partial batch to the full size: a new batch
+            # shape would trigger a second multi-minute jit compile for a
+            # handful of images.  Pad rows carry zero masks; the save loop
+            # below only writes the first N.
+            pad = args.batch_size - N
+            batch = {k: (np.concatenate(
+                [v, np.zeros((pad,) + np.asarray(v).shape[1:],
+                             np.asarray(v).dtype)])
+                if v is not None else None) for k, v in batch.items()}
         noise = None
         if noise_dim > 0:
             rng, k = jax.random.split(rng)
-            noise = jax.random.normal(k, (N, H, W, noise_dim))
+            noise = jax.random.normal(
+                k, (batch["imgs"].shape[0], H, W, noise_dim))
         boxes_gt = batch["boxes"] if args.use_gt_boxes else None
         masks_gt = (batch.get("masks") if args.use_gt_masks else None)
         imgs, boxes_pred, masks_pred, _ = fwd(batch, noise, boxes_gt,
@@ -184,7 +199,7 @@ def run_checkpoint(args, checkpoint_path):
             if gt_u8 is not None:
                 Image.fromarray(gt_u8[i]).save(os.path.join(
                     args.output_dir, "gt_img", f"img{saved:06d}.png"))
-            if args.save_graphs and have_graphviz():
+            if save_graphs:
                 om = batch["obj_mask"][i].astype(bool)
                 tm = batch["triple_mask"][i].astype(bool)
                 sg = draw_scene_graph(batch["objs"][i][om],
@@ -192,17 +207,20 @@ def run_checkpoint(args, checkpoint_path):
                 Image.fromarray(sg).save(os.path.join(
                     args.output_dir, "graphs", f"sg{saved:06d}.png"))
             saved += 1
-        dump["boxes_pred"].append(np.asarray(boxes_pred))
-        dump["boxes_gt"].append(batch["boxes"])
-        dump["objs"].append(batch["objs"])
-        dump["obj_mask"].append(batch["obj_mask"])
+        dump["boxes_pred"].append(np.asarray(boxes_pred)[:N])
+        dump["boxes_gt"].append(np.asarray(batch["boxes"])[:N])
+        dump["objs"].append(np.asarray(batch["objs"])[:N])
+        dump["obj_mask"].append(np.asarray(batch["obj_mask"])[:N])
         if masks_pred is not None:
-            dump["masks_pred"].append(np.asarray(masks_pred))
+            dump["masks_pred"].append(np.asarray(masks_pred)[:N])
         if batch.get("masks") is not None:
-            dump["masks_gt"].append(batch["masks"])
+            dump["masks_gt"].append(np.asarray(batch["masks"])[:N])
 
+    # Row i of every npz array corresponds to img%06d.png i — truncate to
+    # the images actually saved (the last batch may overshoot num_samples).
     np.savez(os.path.join(args.output_dir, "data.npz"),
-             **{k: np.concatenate(v) for k, v in dump.items() if v})
+             **{k: np.concatenate(v)[:saved]
+                for k, v in dump.items() if v})
     print(f"Saved {saved} images to {img_dir}")
     return saved
 

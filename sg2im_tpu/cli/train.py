@@ -356,8 +356,11 @@ def main(argv=None):
                     print("switching to eval mode")
                     state = trainer.reset_g_optimizer(state)
                     switched = True
-                with timeit("step", config.timing):
+                with timeit("step", config.timing) as tbox:
                     state, metrics = trainer.step(state, batch)
+                    # Fence on the loss so the print covers device compute,
+                    # not just dispatch (tunnel-safe host-scalar read).
+                    tbox["sync"] = metrics["total_loss"]
                 t += 1
 
                 if t % config.print_every == 0:

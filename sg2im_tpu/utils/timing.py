@@ -12,20 +12,38 @@ import contextlib
 import time
 
 
+def _force_sync(value):
+    """Fence on a device value via a host scalar read — syncs even through
+    the axon tunnel, where ``block_until_ready`` returns early (CLAUDE.md
+    hard rule; same fence ``trainer.step_breakdown`` uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    for leaf in jax.tree.leaves(value):
+        float(jnp.asarray(leaf).sum())
+        break
+
+
 @contextlib.contextmanager
 def timeit(msg: str, should_time: bool = True, sync_value=None):
-    """Print elapsed ms for a block (reference ``timeit``).  Pass the value
-    to fence on via ``sync_value`` (or rely on host-blocking ops inside)."""
+    """Print elapsed ms for a block (reference ``timeit``).
+
+    Yields a dict: set ``box['sync'] = <device value produced inside>`` so
+    the exit fence reads a host scalar from it; without a sync value only
+    dispatch is timed on async backends (``sync_value`` pre-seeds it for
+    values that exist up front)."""
     import jax
 
+    box = {"sync": sync_value}
     if should_time:
         jax.effects_barrier()
         t0 = time.perf_counter()
-    yield
+    yield box
     if should_time:
-        if sync_value is not None:
-            jax.block_until_ready(sync_value)
-        jax.effects_barrier()
+        if box.get("sync") is not None:
+            _force_sync(box["sync"])
+        else:
+            jax.effects_barrier()
         dt = time.perf_counter() - t0
         print(f"{msg}: {dt * 1000.0:.2f}ms")
 
