@@ -33,6 +33,26 @@ TINY_FLAGS = [
 ]
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SG2IM_RUN_MULTIHOST_PROOF"),
+    reason="real 2-process multi-controller proof (~4 min on 1 CPU); "
+           "opt in with SG2IM_RUN_MULTIHOST_PROOF=1")
+def test_multihost_proof(tmp_path):
+    """CI hook for scripts/multihost_proof.py (two actual processes joined
+    via jax.distributed; see MULTIHOST_PROOF.md)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = subprocess.call(
+        [_sys.executable, os.path.join(repo, "scripts", "multihost_proof.py"),
+         "--out", str(tmp_path), "--data_root",
+         os.path.join(str(tmp_path), "data"),
+         "--report", os.path.join(str(tmp_path), "report.md")],
+        cwd=repo)
+    assert rc == 0
+
+
 def test_train_cli_vg(tmp_path, capsys):
     """VG train path through the CLI (h5 + vocab.json + images): the COCO
     smoke covers the loop; this pins the VG dataset/pad wiring
