@@ -124,8 +124,30 @@ class Trainer:
     def reset_g_optimizer(self, state: TrainState) -> TrainState:
         """Fresh Adam for the generator at the eval_mode_after switch
         (reference ``train.py:509-512``)."""
-        return state.replace(g_opt=self.optimizers["g"].init(
-            state.g_vars["params"]))
+        g_opt = self.optimizers["g"].init(state.g_vars["params"])
+        if self.mesh is not None:
+            # The fresh count scalar is a process-local array; the rest of
+            # the state is replicated globally — re-replicate so the next
+            # multi-controller jit call doesn't mix device sets.
+            g_opt = replicate_state(g_opt, self.mesh)
+        return state.replace(g_opt=g_opt)
+
+    def _layout_noise(self, key, N: int):
+        """One (N, H, W, layout_noise_dim) normal draw, replicated as a
+        global array under a mesh (host-local inputs mixed with globally
+        sharded state are rejected by multi-controller jit).  Keys must be
+        process-independent (step/seed-derived) so every process draws the
+        same values."""
+        c = self.config
+        if c.layout_noise_dim <= 0:
+            return None
+        H, W = c.image_size
+        noise = jax.random.normal(key, (N, H, W, c.layout_noise_dim))
+        if self.mesh is not None:
+            from sg2im_tpu.parallel.mesh import replicate_host_array
+
+            noise = replicate_host_array(noise, self.mesh)
+        return noise
 
     # -- stepping ----------------------------------------------------------
 
@@ -154,12 +176,8 @@ class Trainer:
         c = self.config
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
-        H, W = c.image_size
         N = batch["imgs"].shape[0]
-        noise = None
-        if c.layout_noise_dim > 0:
-            noise = jax.random.normal(jax.random.PRNGKey(0),
-                                      (N, H, W, c.layout_noise_dim))
+        noise = self._layout_noise(jax.random.PRNGKey(0), N)
         fns = self.train_step.phase_fns
         times: dict[str, float] = {}
         imgs_fake = None
@@ -231,8 +249,6 @@ class Trainer:
         """
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        c = self.config
-        H, W = c.image_size
         tot_losses: dict[str, float] = {}
         tot_iou, tot_objs, seen = 0.0, 0.0, 0
         rng = jax.random.PRNGKey(int(state.step))
@@ -249,18 +265,8 @@ class Trainer:
                 # contract.
                 batch = shard_batch(batch, self.mesh)
             N = batch["imgs"].shape[0]
-            noise = None
-            if c.layout_noise_dim > 0:
-                rng, k = jax.random.split(rng)
-                noise = jax.random.normal(k, (N, H, W, c.layout_noise_dim))
-                if self.mesh is not None:
-                    # The key is step-derived, so every process draws the
-                    # same values; replicate them as a global array (a
-                    # host-local array mixed with globally-sharded batch
-                    # inputs is rejected by jit under multi-controller).
-                    from sg2im_tpu.parallel.mesh import replicate_host_array
-
-                    noise = replicate_host_array(noise, self.mesh)
+            rng, k = jax.random.split(rng)
+            noise = self._layout_noise(k, N)
             losses, iou_sum, n_objs, preds = self._eval_step(
                 state.g_vars, batch, noise)
             for k2, v in losses.items():
@@ -308,13 +314,8 @@ class Trainer:
     def sample_triptych(self, state: TrainState, batch: dict, seed: int = 0):
         """GT-box/GT-mask, GT-box/pred-mask, pred-box/pred-mask samples
         (reference ``train.py:346-356``)."""
-        c = self.config
-        H, W = c.image_size
         N = batch["imgs"].shape[0]
-        noise = None
-        if c.layout_noise_dim > 0:
-            noise = jax.random.normal(jax.random.PRNGKey(seed),
-                                      (N, H, W, c.layout_noise_dim))
+        noise = self._layout_noise(jax.random.PRNGKey(seed), N)
 
         def run(boxes_gt, masks_gt):
             return self.generator.apply(
