@@ -101,13 +101,17 @@ def cross_entropy(logits, labels, mask=None):
     """Masked softmax cross-entropy (AC / predicate losses,
     ``scripts/train.py:399-404``, ``discriminators.py:74``).
 
-    Out-of-range labels on MASKED rows are tolerated (clipped before the
-    gather): ``take_along_axis`` fills out-of-range with NaN, and even a
-    masked NaN would otherwise poison the mean — e.g. a loader padding
-    labels with -1."""
+    Out-of-range labels on MASKED rows are tolerated (rewritten to 0
+    before the gather): ``take_along_axis`` fills out-of-range with NaN,
+    and even a masked NaN would otherwise poison the mean — e.g. a loader
+    padding labels with -1.  UNMASKED rows are deliberately NOT sanitized:
+    a genuinely out-of-range label (loader/vocab bug) produces NaN and
+    trips the train step's finite-loss guard instead of silently training
+    against an arbitrary class."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if mask is not None:
+        labels = jnp.where(mask > 0, labels, 0)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return masked_mean(nll, mask)
 
 

@@ -311,9 +311,14 @@ class RefinementModule(nn.Module):
                     dtype=self.compute_dtype,
                     name=f"layer{idx[conv_key]}",
                 )(x)
-            if self.compute_dtype is not None and train:
+            if self.compute_dtype is not None and (
+                    train or self.normalization == "instance"):
                 # Train-mode BN reduces over the batch: keep stats math in
                 # f32 (bf16 accumulation would corrupt running stats).
+                # Instance norm is parameterless and computes mean/var
+                # per-call even at eval, so it needs the f32 cast in eval
+                # mode too (BN at eval upcasts via its f32 running
+                # stats/affine params, no explicit cast needed).
                 x = x.astype(jnp.float32)
             if self.normalization == "batch":
                 x = BatchNorm(self.output_dim, name=f"layer{idx[norm_key]}")(
@@ -328,9 +333,10 @@ class RefinementModule(nn.Module):
                 # tensor between convs is bf16 (halved traffic).  Measured
                 # v5e vg128/b128: 3214 vs 3083 img/s e2e (+4.3%, 64 dB PSNR
                 # vs f32); the earlier per-conv f32<->bf16 boundary variant
-                # was *slower* than pure f32.  f32 params upcast the norm
-                # arithmetic elementwise, so eval-mode numerics match a
-                # pre-cast to f32 bit-for-bit.
+                # was *slower* than pure f32.  For BN, f32 params upcast
+                # the eval norm arithmetic elementwise (matches a pre-cast
+                # to f32 bit-for-bit); instance norm gets an explicit f32
+                # pre-cast above since it has no params to trigger one.
                 x = x.astype(self.compute_dtype)
         return x
 
@@ -368,8 +374,10 @@ class PackedRefinementModule(nn.Module):
                     co, co, compute_dtype=self.compute_dtype,
                     name=f"layer{idx[conv_key]}",
                 )(x)
-            if self.compute_dtype is not None and train:
-                # f32 batch stats, as in RefinementModule.
+            if self.compute_dtype is not None and (
+                    train or self.normalization == "instance"):
+                # f32 batch stats (and eval-mode parameterless instance
+                # stats), as in RefinementModule.
                 x = x.astype(jnp.float32)
             if self.normalization == "batch":
                 # Phases are fine-grid spatial positions: fold them into

@@ -1,4 +1,14 @@
-"""Fused Pallas layout-compose kernel — the #1 custom TPU kernel.
+"""Fused Pallas layout-compose kernel. **EXPERIMENTAL — not a production
+path.** Measured on real v5e: standalone the kernel beats XLA ~12%, but
+inside the full generator the ``pallas_call`` fusion boundary makes the
+end-to-end model ~13% slower, so ``'auto'`` always resolves to the XLA
+path and this kernel runs only when explicitly forced
+(``SG2IM_TPU_FORCE_PALLAS=1`` or ``backend='pallas'``).  The backward pass
+re-runs the jnp compose (rematerialized VJP below) — training through the
+forced kernel still takes XLA gradients.  Kept as a measured reference
+point and a starting kernel for shapes where the (N, O, H, W) warp
+intermediate stops fitting HBM (see ARCHITECTURE.md §7 for the full
+retirement record).
 
 Computes, in one VMEM-resident pass per (image, row-tile):
 
@@ -261,7 +271,9 @@ def fused_layout_compose_v2(boxes, masks, vecs, H, W, interpret=False):
     sub-lane-shaped (O, 4) boxes block / weight-construction reshapes
     (tpu_compile_helper crash) — compiled use is gated off until a newer
     Mosaic lands; `masks_to_layout(backend='pallas-v2')` is experimental.
-    The v1 kernel above is the production compiled path."""
+    The v1 kernel above is the one that compiles, but it too is
+    experimental/opt-in (see module docstring) — XLA is the production
+    path for both."""
     return _pallas_compose_v2(boxes, masks, vecs, H, W, interpret)
 
 
