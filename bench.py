@@ -1,15 +1,28 @@
 """Benchmark: flagship (vg128-scale) inference throughput on TPU.
 
-Prints ONE JSON line:
+Prints ONE JSON line whose primary fields are
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+plus extra driver-captured evidence fields (each skipped, not fatal, on
+failure):
+  "psnr_db_vs_reference": raw-space PSNR of the TPU serving path (bf16
+      production mode) vs the reference torch model run in-process on CPU
+      on the same vg128-scale checkpoint/inputs/noise — the reproducible
+      in-container proxy for the north-star >=40 dB pretrained gate
+      (reference README.md:78-89); methodology identical to
+      tests/test_inference.py::test_engine_psnr_vs_reference but at
+      flagship scale.  "psnr_db_vs_reference_f32" is the same comparison
+      with f32 compute (the near-exact parity bound).
+  "train_step_ms_b32" / "train_img_s_b32" / "train_vs_baseline_b32":
+      the full jitted 3-optimizer GAN train step (COCO-64 default config)
+      vs the CPU train-step baseline.
 
 ``vs_baseline`` compares against the PyTorch-CPU reference throughput
 measured in this container (BASELINE_MEASURED.json; methodology inside).
 Driver target: >= 10x (BASELINE.json north_star).
 
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 10),
-BENCH_MODE=train runs the full jitted GAN train step (COCO-64 default
-config) instead and compares against the CPU train-step baseline.
+BENCH_EXTRAS=0 skips the PSNR/train evidence fields, BENCH_MODE=train
+runs ONLY the train-step benchmark as the primary metric.
 """
 
 from __future__ import annotations
@@ -118,11 +131,19 @@ def train_step_setup(batch: int = 32):
     return trainer, state, batch_d
 
 
-def main_train():
+def _read_baseline(key: str, default: float) -> float:
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            return json.load(f).get(key, default)
+    return default
+
+
+def _measure_train(batch: int, iters: int):
+    """(sec/step, images/sec, x-vs-CPU-baseline) for the jitted GAN step."""
     import jax
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
     trainer, state, batch_d = train_step_setup(batch)
     # Stage the batch on device (training loops overlap this transfer via
     # data.loader.prefetch_to_device; the bench measures device step time).
@@ -134,19 +155,115 @@ def main_train():
         state, m = trainer.step(state, dict(batch_d))
     float(m["total_loss"])
     dt = (time.perf_counter() - t0) / iters
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BASELINE_MEASURED.json")
-    baseline_step = 10.63
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            baseline_step = json.load(f).get(
-                "torch_cpu_train_step_sec_coco64_b32", baseline_step)
+    baseline_step = _read_baseline("torch_cpu_train_step_sec_coco64_b32",
+                                   10.63)
     baseline_ips = 32.0 / baseline_step
+    return dt, batch / dt, (batch / dt) / baseline_ips
+
+
+def measure_psnr_vs_reference():
+    """Raw-space PSNR of THIS framework's serving path (TPU, bf16
+    production mode unless BENCH_BF16=0) against the reference torch
+    Sg2ImModel executed in-process on CPU — same flagship-scale (vg128)
+    checkpoint, same scene graphs, same (zeroed) layout noise.
+
+    This is the reproducible in-container proxy for the north-star
+    pretrained-checkpoint gate (PSNR >= 40 dB, BASELINE.json): the real
+    vg128.pt weights cannot be downloaded here, so the reference model is
+    instantiated at the identical vg128 architecture with seeded random
+    weights, exported through the full ``.pt`` -> converter -> engine
+    path, and both frameworks render the same graphs.  The box head's
+    final Linear is rescaled so predicted boxes are non-degenerate
+    (untrained final-ReLU heads otherwise emit zero-extent boxes, whose
+    grid math NaNs in the reference: ``sg2im/layout.py:117-118``).
+
+    Returns (psnr_db, n_images).
+    """
+    import tempfile
+
+    sys.path.insert(0, "/root/reference")
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as tnn
+    from sg2im.model import Sg2ImModel
+
+    from sg2im_tpu.ckpt.torch_compat import (
+        torch04_semantics, zeros_randn_override)
+    from sg2im_tpu.inference import InferenceEngine
+    from sg2im_tpu.utils.metrics import psnr
+
+    num_objs, num_preds = 179, 46
+    names = ["__image__"] + [f"o{i}" for i in range(1, num_objs)]
+    preds = ["__in_image__"] + [f"p{i}" for i in range(1, num_preds)]
+    vocab = {
+        "object_idx_to_name": names,
+        "object_name_to_idx": {n: i for i, n in enumerate(names)},
+        "pred_idx_to_name": preds,
+        "pred_name_to_idx": {n: i for i, n in enumerate(preds)},
+    }
+    model_kwargs = dict(
+        image_size=(128, 128), embedding_dim=128, gconv_dim=128,
+        gconv_hidden_dim=512, gconv_num_layers=5,
+        refinement_dims=(1024, 512, 256, 128, 64), normalization="batch",
+        activation="leakyrelu-0.2", mask_size=16, layout_noise_dim=32,
+    )
+    sgs = [
+        {"objects": ["o1", "o2", "o3"],
+         "relationships": [[0, "p1", 1], [2, "p2", 0]]},
+        {"objects": ["o4", "o5", "o6", "o7"],
+         "relationships": [[0, "p3", 1], [1, "p4", 2], [3, "p5", 0]]},
+        {"objects": ["o8", "o9"], "relationships": [[0, "p6", 1]]},
+        {"objects": ["o10", "o11", "o12", "o13", "o14"],
+         "relationships": [[0, "p7", 4], [1, "p8", 2], [2, "p9", 3]]},
+    ]
+    with torch04_semantics(randn_override=zeros_randn_override):
+        torch.manual_seed(0)
+        model = Sg2ImModel(vocab=vocab, **model_kwargs)
+        box_linears = [m for m in model.box_net if isinstance(m, tnn.Linear)]
+        with torch.no_grad():
+            box_linears[-1].weight.mul_(0.01)
+            box_linears[-1].bias.copy_(
+                torch.tensor([0.15, 0.2, 0.85, 0.8]))
+        model.eval()
+        with torch.no_grad():
+            ref_imgs, *_ = model.forward_json(json.loads(json.dumps(sgs)))
+        ref_imgs = ref_imgs.permute(0, 2, 3, 1).numpy()
+        assert not np.isnan(ref_imgs).any(), \
+            "reference forward NaN'd (degenerate boxes?)"
+        ckpt = {"model_state": model.state_dict(),
+                "model_kwargs": dict(model_kwargs, vocab=vocab),
+                "args": {"dataset": "vg"}}
+    results = {}
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "vg128_synth.pt")
+        torch.save(ckpt, path)
+        # f32: the near-exact parity number (geometry/Dense at HIGHEST
+        # precision; historically 54-64 dB).  bf16: the production serving
+        # mode the throughput metric above actually runs.
+        modes = [("psnr_db_vs_reference_f32", {})]
+        if os.environ.get("BENCH_BF16", "1") not in ("0", ""):
+            modes.append(("psnr_db_vs_reference",
+                          {"compute_dtype": jnp.bfloat16}))
+        for field, kw in modes:
+            engine = InferenceEngine.from_torch_checkpoint(path, **kw)
+            _, out = engine.generate(sgs, noise="zeros")
+            got = np.asarray(out["imgs"], np.float32)[:len(sgs)]
+            results[field] = float(psnr(got, ref_imgs, max_val=1.0))
+    if "psnr_db_vs_reference" not in results:  # BENCH_BF16=0: f32 IS prod
+        results["psnr_db_vs_reference"] = results.pop(
+            "psnr_db_vs_reference_f32")
+    return results, len(sgs)
+
+
+def main_train():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dt, ips, vs = _measure_train(batch, iters)
     print(json.dumps({
         "metric": "coco64_gan_train_step",
-        "value": round(batch / dt, 2),
+        "value": round(ips, 2),
         "unit": "images/sec",
-        "vs_baseline": round((batch / dt) / baseline_ips, 2),
+        "vs_baseline": round(vs, 2),
     }))
 
 
@@ -177,18 +294,33 @@ def main():
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BASELINE_MEASURED.json")
-    baseline = 2.21
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            baseline = json.load(f)["torch_cpu_images_per_sec_128"]
+    baseline = _read_baseline("torch_cpu_images_per_sec_128", 2.21)
+
+    extras = {}
+    if os.environ.get("BENCH_EXTRAS", "1") not in ("0", ""):
+        # Evidence fields (VERDICT r2 #1): fidelity + training numbers in
+        # the same driver-captured artifact.  Each is best-effort — a
+        # failure degrades the line, never kills the primary metric.
+        try:
+            psnr_fields, n = measure_psnr_vs_reference()
+            extras.update({k: round(v, 2) for k, v in psnr_fields.items()})
+            extras["psnr_n_images"] = n
+        except Exception as e:  # pragma: no cover
+            print(f"WARNING: PSNR extra failed: {e!r}", file=sys.stderr)
+        try:
+            dt, tips, tvs = _measure_train(32, iters)
+            extras["train_step_ms_b32"] = round(dt * 1000, 2)
+            extras["train_img_s_b32"] = round(tips, 1)
+            extras["train_vs_baseline_b32"] = round(tvs, 1)
+        except Exception as e:  # pragma: no cover
+            print(f"WARNING: train extra failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "vg128_inference_throughput",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2),
+        **extras,
     }))
 
 

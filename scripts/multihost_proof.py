@@ -35,8 +35,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PORT = 13579
-ITERS = 4
-GLOBAL_BATCH = 8
+# Smoke mode (SG2IM_PROOF_SMOKE=1, always-on in CI via
+# tests/test_cli.py::test_multihost_smoke_two_process): 2 iters, smaller
+# batch/dataset, 2 virtual devices/process, no resume leg, no report — a
+# fast variant so the distributed-init/global-assembly/process-0-checkpoint
+# path has always-on coverage.  The env var (not a flag) carries the
+# config into the re-invoked child processes.  (The synthetic dataset
+# builder needs hw>=32 for its 10-28 px objects, so image size stays 32.)
+SMOKE = bool(os.environ.get("SG2IM_PROOF_SMOKE"))
+ITERS = 2 if SMOKE else 4
+GLOBAL_BATCH = 4 if SMOKE else 8
+HW = 32
+DEVICES_PER_PROC = 2 if SMOKE else 4
 
 
 def _dataset_flags(data_root):
@@ -54,7 +64,7 @@ def _dataset_flags(data_root):
 def _train_flags(data_root, out_dir, multihost: bool):
     return [
         "--dataset", "coco", "--batch_size", str(GLOBAL_BATCH),
-        "--image_size", "32,32", "--embedding_dim", "16",
+        "--image_size", f"{HW},{HW}", "--embedding_dim", "16",
         "--gconv_dim", "16", "--gconv_hidden_dim", "24",
         "--gconv_num_layers", "2", "--refinement_network_dims", "24,16",
         "--mask_size", "4", "--layout_noise_dim", "4", "--crop_size", "8",
@@ -117,11 +127,12 @@ def main():
         from scripts.train_proof import build_dataset
 
         os.makedirs(args.data_root, exist_ok=True)
-        build_dataset(args.data_root, n_images=64, hw=32)
+        build_dataset(args.data_root, n_images=16 if SMOKE else 64, hw=HW)
 
     env_common = dict(
         os.environ,
-        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        XLA_FLAGS=("--xla_force_host_platform_device_count="
+                   f"{DEVICES_PER_PROC}"),
         SG2IM_COORDINATOR=f"localhost:{PORT}",
         SG2IM_NUM_PROCESSES="2",
         SG2IM_TPU_CKPT=args.ckpt_backend,
@@ -142,10 +153,11 @@ def main():
         [log.close() for log, _ in procs]
         outs = [open(os.path.join(args.out, f"proc{k}{tag}.log")).read()
                 for k in range(2)]
+        n_global = 2 * DEVICES_PER_PROC
         for k in range(2):
             assert rcs[k] == 0, f"proc{k}{tag} rc={rcs[k]}\n{outs[k][-3000:]}"
-            assert f"multihost: process {k}/2, 8 global devices" in outs[k], \
-                outs[k][-2000:]
+            assert (f"multihost: process {k}/2, {n_global} global devices"
+                    in outs[k]), outs[k][-2000:]
         return outs
 
     t0 = time.perf_counter()
@@ -164,6 +176,12 @@ def main():
             os.listdir(ckpt)
     else:
         assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
+
+    if SMOKE:
+        print(f"multihost SMOKE OK ({wall:.0f}s): 2 procs x "
+              f"{DEVICES_PER_PROC} devices, {ITERS} iters, identical "
+              f"traces, checkpoint present")
+        return
 
     # Resume leg: restore the t=ITERS checkpoint under both processes and
     # train ITERS more — the multi-process restore path (template

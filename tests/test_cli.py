@@ -53,6 +53,31 @@ def test_multihost_proof(tmp_path):
     assert rc == 0
 
 
+def test_multihost_smoke_two_process(tmp_path):
+    """Always-on minimal 2-process multi-controller smoke: REAL
+    ``jax.distributed.initialize`` between two processes, per-host loader
+    shards -> ``make_array_from_process_local_data`` global batches,
+    sharded eval sweep, process-0 checkpoint write — 2 iterations on a
+    16x16 config (2 virtual devices/process).  The full proof (4 iters,
+    resume leg, MULTIHOST_PROOF.md) stays opt-in above; this variant
+    exists so the distributed path has coverage in every plain
+    ``pytest tests/`` run."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SG2IM_PROOF_SMOKE="1")
+    # The parent process only orchestrates; children set their own
+    # XLA_FLAGS/platform. Drop any test-harness CPU pinning leakage.
+    rc = subprocess.call(
+        [_sys.executable, os.path.join(repo, "scripts", "multihost_proof.py"),
+         "--out", str(tmp_path), "--data_root",
+         os.path.join(str(tmp_path), "data"),
+         "--report", os.path.join(str(tmp_path), "report.md")],
+        cwd=repo, env=env)
+    assert rc == 0
+
+
 def test_train_cli_vg(tmp_path, capsys):
     """VG train path through the CLI (h5 + vocab.json + images): the COCO
     smoke covers the loop; this pins the VG dataset/pad wiring

@@ -203,6 +203,85 @@ def test_verify_pretrained_cli(tmp_path, capsys):
     assert sorted(os.listdir(out_dir)) == ["img000000.png", "img000001.png"]
 
 
+def test_verify_pretrained_golden_workflow_sheep_layout(tmp_path):
+    """Pre-stages the north-star golden workflow end to end: the REAL
+    ``scene_graphs/figure_6_sheep.json`` (7 graphs) driven through
+    ``verify_pretrained --golden_dir`` against a directory laid out
+    EXACTLY like the reference's shipped goldens
+    (``/root/reference/images/sheep``: ``img00000{0-6}.png`` plus
+    ``sg00000{0-6}.png`` files that image discovery must ignore).  Proves
+    the file discovery / deprocess / PSNR path so that the day real
+    ``vg128.pt`` weights appear the acceptance run is the one README
+    command with ``--golden_dir <sg2im>/images/sheep``."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sheep_json = os.path.join(repo, "scene_graphs", "figure_6_sheep.json")
+    ref_golden_dir = "/root/reference/images/sheep"
+    with open(sheep_json) as f:
+        sgs = json.load(f)
+    assert len(sgs) == 7
+
+    # Checkpoint with the vocab the real sheep graphs need (the real
+    # vg128 vocab is much larger; discovery/deprocess/PSNR don't care).
+    obj_names, pred_names = set(), set()
+    for sg in sgs:
+        obj_names.update(sg["objects"])
+        for _s, p, _o in sg["relationships"]:
+            pred_names.add(p)
+    names = ["__image__"] + sorted(obj_names)
+    preds = ["__in_image__"] + sorted(pred_names)
+    vocab = {
+        "object_idx_to_name": names,
+        "object_name_to_idx": {n: i for i, n in enumerate(names)},
+        "pred_idx_to_name": preds,
+        "pred_name_to_idx": {n: i for i, n in enumerate(preds)},
+    }
+    kw = dict(image_size=(64, 64), embedding_dim=16, gconv_dim=24,
+              gconv_hidden_dim=32, gconv_num_layers=2,
+              refinement_dims=(24, 16, 8), normalization="batch",
+              activation="leakyrelu-0.2", mask_size=4,
+              mlp_normalization="none", layout_noise_dim=6)
+    from sg2im.model import Sg2ImModel
+
+    torch.manual_seed(3)
+    model = Sg2ImModel(vocab=vocab, **kw)
+    ckpt_path = os.path.join(tmp_path, "sheep_vocab.pt")
+    torch.save({"model_state": model.state_dict(),
+                "model_kwargs": dict(kw, vocab=vocab), "args": {}},
+               ckpt_path)
+
+    from PIL import Image
+
+    from sg2im_tpu.cli.verify_pretrained import main
+
+    # Staging run: render the 7 graphs (rc=1 — nothing to compare yet;
+    # images are written before the comparison step).
+    out1 = os.path.join(tmp_path, "staging")
+    rc = main(["--checkpoint", ckpt_path, "--scene_graphs_json", sheep_json,
+               "--output_dir", out1, "--run_reference", "0"])
+    assert rc == 1
+    assert sorted(os.listdir(out1)) == ["img%06d.png" % i for i in range(7)]
+
+    # Golden dir mirroring the reference layout byte-for-byte in structure:
+    # same filenames, same count, sg*.png present as discovery decoys.
+    golden = os.path.join(tmp_path, "golden")
+    os.makedirs(golden)
+    for i in range(7):
+        arr = np.asarray(Image.open(
+            os.path.join(out1, "img%06d.png" % i)))
+        Image.fromarray(arr).save(os.path.join(golden, "img%06d.png" % i))
+        sg_png = os.path.join(ref_golden_dir, "sg%06d.png" % i)
+        Image.open(sg_png).save(os.path.join(golden, "sg%06d.png" % i))
+    assert sorted(os.listdir(golden)) == sorted(os.listdir(ref_golden_dir))
+
+    # Acceptance-shaped run: real JSON + sheep-layout golden dir.
+    out2 = os.path.join(tmp_path, "accept")
+    rc = main(["--checkpoint", ckpt_path, "--scene_graphs_json", sheep_json,
+               "--output_dir", out2, "--golden_dir", golden,
+               "--run_reference", "0"])
+    assert rc == 0
+    assert sorted(os.listdir(out2)) == ["img%06d.png" % i for i in range(7)]
+
+
 def test_verify_pretrained_cli_golden_dir(tmp_path):
     """Golden-PNG mode: comparing against the CLI's own outputs must be a
     perfect match; against corrupted goldens it must fail with rc=2."""
