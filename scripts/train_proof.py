@@ -113,6 +113,12 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--out", default="/tmp/train_proof")
+    ap.add_argument("--bf16", type=int, default=0,
+                    help="1: train with --bf16_compute (the mixed-precision "
+                         "CRN chain) — for the bf16-training stability proof")
+    ap.add_argument("--checkpoint_every", type=int, default=None,
+                    help="eval/checkpoint interval (default: only at the "
+                         "end) — set for interval IoU traces")
     ap.add_argument("--report", default=None,
                     help="markdown report path (default <repo>/TRAIN_PROOF.md)")
     args = ap.parse_args(argv)
@@ -147,7 +153,7 @@ def main(argv=None):
         "--image_size", "64,64",
         "--num_iterations", str(args.iters),
         "--print_every", "25",
-        "--checkpoint_every", str(args.iters),
+        "--checkpoint_every", str(args.checkpoint_every or args.iters),
         "--loader_num_workers", str(args.workers),
         "--num_val_samples", str(2 * args.batch_size),
         "--coco_train_image_dir", img_dir,
@@ -158,6 +164,8 @@ def main(argv=None):
         "--coco_val_stuff_json", stuff_path,
         "--output_dir", run_dir,
     ]
+    if args.bf16:
+        flags += ["--bf16_compute", "1"]
     import contextlib
     import io
 

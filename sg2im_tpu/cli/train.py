@@ -34,6 +34,12 @@ def build_parser():
     p.add_argument("--num_val_samples", default=d.num_val_samples, type=int)
     p.add_argument("--shuffle_val", default=True, type=bool_flag)
     p.add_argument("--loader_num_workers", default=4, type=int)
+    p.add_argument("--cache_dir", default=None,
+                   help="directory for the decoded-sample memmap cache "
+                        "(data/cache.py): built on first run, then every "
+                        "sample read skips JPEG/RLE decode entirely — one "
+                        "loader worker feeds any step rate (beyond the "
+                        "reference, which needs 4 decode workers)")
     p.add_argument("--include_relationships", default=True, type=bool_flag)
     # VG
     p.add_argument("--vg_image_dir", default=d.vg_image_dir)
@@ -154,6 +160,13 @@ def check_args(config: TrainConfig):
 
 
 def build_datasets(config: TrainConfig):
+    def cache_sub(split):
+        # Separate subdir per split; processes share the same cache (the
+        # build is process-0-idempotent: later readers see meta.json).
+        if not config.cache_dir:
+            return None
+        return os.path.join(config.cache_dir, f"{config.dataset}_{split}")
+
     if config.dataset == "coco":
         from sg2im_tpu.data.coco import CocoSceneGraphDataset
 
@@ -173,12 +186,14 @@ def build_datasets(config: TrainConfig):
             image_dir=config.coco_train_image_dir,
             instances_json=config.coco_train_instances_json,
             stuff_json=config.coco_train_stuff_json,
-            max_samples=config.num_train_samples, **common)
+            max_samples=config.num_train_samples,
+            cache_dir=cache_sub("train"), **common)
         val = CocoSceneGraphDataset(
             image_dir=config.coco_val_image_dir,
             instances_json=config.coco_val_instances_json,
             stuff_json=config.coco_val_stuff_json,
-            max_samples=config.num_val_samples, **common)
+            max_samples=config.num_val_samples,
+            cache_dir=cache_sub("val"), **common)
         assert train.vocab == val.vocab
         return train.vocab, train, val
     from sg2im_tpu.data.vg import VgSceneGraphDataset
@@ -194,10 +209,11 @@ def build_datasets(config: TrainConfig):
         seed=config.seed)  # reproducible for any loader_num_workers
     train = VgSceneGraphDataset(h5_path=config.train_h5,
                                 max_samples=config.num_train_samples,
-                                **common)
+                                cache_dir=cache_sub("train"), **common)
     # Reference uses the FULL val split (build_vg_dsets deletes
     # max_samples, train.py:281); check_model caps the sweep instead.
-    val = VgSceneGraphDataset(h5_path=config.val_h5, **common)
+    val = VgSceneGraphDataset(h5_path=config.val_h5,
+                              cache_dir=cache_sub("val"), **common)
     return vocab, train, val
 
 
@@ -423,8 +439,14 @@ def main(argv=None):
                            else f"{t:07d}")
                     snap = os.path.join(config.output_dir,
                                         f"snapshot_{tag}.pt")
+                    # _to_host, not device_get: under --multihost the
+                    # replicated state spans non-addressable devices and
+                    # plain device_get raises (same crash class ckpt/store
+                    # handles); _to_host reads the local replica shard.
+                    from sg2im_tpu.ckpt.store import _to_host
+
                     export_torch_checkpoint(
-                        snap, jax.device_get(state.g_vars),
+                        snap, jax.tree.map(_to_host, state.g_vars),
                         config.generator_kwargs(), vocab,
                         args=dataclasses.asdict(config))
                     print("Saved snapshot to", snap)

@@ -46,7 +46,7 @@ class CocoSceneGraphDataset:
                  include_relationships=True, min_object_size=0.02,
                  min_objects_per_image=3, max_objects_per_image=8,
                  include_other=False, instance_whitelist=None,
-                 stuff_whitelist=None, seed=None):
+                 stuff_whitelist=None, seed=None, cache_dir=None):
         self.image_dir = image_dir
         self.mask_size = mask_size
         self.max_samples = max_samples
@@ -143,6 +143,30 @@ class CocoSceneGraphDataset:
         self.vocab["pred_name_to_idx"] = {
             n: i for i, n in enumerate(COCO_PRED_NAMES)}
 
+        # Optional decoded-sample memmap cache (data/cache.py): built once
+        # here (streams; ~2 ms/sample decode), then every __getitem__ is a
+        # memmap slice + cheap triple synthesis — one loader worker feeds
+        # any step rate.  Bit-identical to the uncached path
+        # (test_coco_cache_bit_identical).
+        self._cache = None
+        if cache_dir:
+            from sg2im_tpu.data.cache import DecodedCache
+
+            n = len(self)
+            fp = {"dataset": "coco", "n": n,
+                  "image_size": list(self.image_size),
+                  "mask_size": mask_size,
+                  "image_dir": os.path.abspath(image_dir),
+                  "ids": [int(self.image_ids[0]), int(self.image_ids[-1])]
+                  if n else []}
+            cache = DecodedCache(cache_dir, fp)
+            if not cache.ready:
+                print(f"building decoded-sample cache for {n} samples "
+                      f"at {cache_dir} ...")
+                cache.build(n, self._decode_invariant,
+                            O_cap=max_objects_per_image + 1)
+            self._cache = cache
+
     def total_objects(self) -> int:
         total = 0
         for i, image_id in enumerate(self.image_ids):
@@ -163,7 +187,7 @@ class CocoSceneGraphDataset:
         otherwise make in-flight samples' epoch thread-timing-dependent."""
         self._epoch = int(epoch)
 
-    def _load_image(self, image_id):
+    def _load_image_u8(self, image_id):
         from PIL import Image
 
         path = os.path.join(self.image_dir,
@@ -172,22 +196,16 @@ class CocoSceneGraphDataset:
             with Image.open(f) as image:
                 WW, HH = image.size
                 img = resize_image(image.convert("RGB"), self.image_size)
-                arr = np.asarray(img, np.float32) / 255.0
-        if self.normalize_images:
-            arr = imagenet_preprocess(arr)
-        return arr.astype(np.float32), WW, HH
+                arr = np.asarray(img, np.uint8)
+        return arr, WW, HH
 
-    def __getitem__(self, index):
-        return self.getitem_at_epoch(index, self._epoch)
-
-    def getitem_at_epoch(self, index, epoch: int):
-        """Returns dict(image (H,W,3), objs (O,), boxes (O,4),
-        masks (O,M,M), triples (T,3)) — same content as the reference's
-        tuple (``coco.py:232-359``) in NHWC numpy form.  ``epoch`` selects
-        the per-sample RNG stream explicitly (thread-safe; loaders bind it
-        per iterator)."""
+    def _decode_invariant(self, index):
+        """The epoch-invariant (cacheable) part of a sample: resized uint8
+        image + per-object categories / normalized boxes / MxM masks,
+        incl. the trailing ``__image__`` node.  The per-epoch heuristic
+        triples are synthesized later from these tensors."""
         image_id = self.image_ids[index]
-        image, WW, HH = self._load_image(image_id)
+        image_u8, WW, HH = self._load_image_u8(image_id)
 
         from PIL import Image
 
@@ -213,10 +231,31 @@ class CocoSceneGraphDataset:
         objs.append(0)  # __image__
         boxes.append([0.0, 0.0, 1.0, 1.0])
         masks.append(np.ones((M, M), np.int64))
+        return {"image": image_u8, "objs": np.asarray(objs, np.int64),
+                "boxes": np.asarray(boxes, np.float32),
+                "masks": np.stack(masks)}
 
-        objs = np.asarray(objs, np.int64)
-        boxes = np.asarray(boxes, np.float32)
-        masks = np.stack(masks)
+    def __getitem__(self, index):
+        return self.getitem_at_epoch(index, self._epoch)
+
+    def getitem_at_epoch(self, index, epoch: int):
+        """Returns dict(image (H,W,3), objs (O,), boxes (O,4),
+        masks (O,M,M), triples (T,3)) — same content as the reference's
+        tuple (``coco.py:232-359``) in NHWC numpy form.  ``epoch`` selects
+        the per-sample RNG stream explicitly (thread-safe; loaders bind it
+        per iterator)."""
+        if self._cache is not None and self._cache.ready:
+            c = self._cache.get(index)
+            image_u8 = c["image_u8"]
+            objs, boxes, masks = c["objs"], c["boxes"], c["masks"]
+        else:
+            inv = self._decode_invariant(index)
+            image_u8 = inv["image"]
+            objs, boxes, masks = inv["objs"], inv["boxes"], inv["masks"]
+
+        image = image_u8.astype(np.float32) / 255.0
+        if self.normalize_images:
+            image = imagenet_preprocess(image).astype(np.float32)
         rng = per_sample_rng(self.seed, epoch, index)
         triples = self._synthesize_triples(objs, boxes, masks, rng)
         return {"image": image, "objs": objs, "boxes": boxes,

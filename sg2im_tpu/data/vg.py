@@ -26,7 +26,7 @@ class VgSceneGraphDataset:
     def __init__(self, vocab, h5_path, image_dir, image_size=(256, 256),
                  normalize_images=True, max_objects=10, max_samples=None,
                  include_relationships=True, use_orphaned_objects=True,
-                 seed=None):
+                 seed=None, cache_dir=None):
         self.image_dir = image_dir
         self.image_size = tuple(image_size)
         self.vocab = vocab
@@ -52,6 +52,35 @@ class VgSceneGraphDataset:
                 else:
                     self.data[k] = np.asarray(v).astype(np.int64)
 
+        # Optional decoded-image memmap cache (data/cache.py): VG's graph
+        # tensors are re-sampled per epoch from the in-memory h5 arrays
+        # (cheap), so only the image decode + original size are cached.
+        self._cache = None
+        if cache_dir:
+            from sg2im_tpu.data.cache import DecodedCache
+
+            n = len(self)
+            fp = {"dataset": "vg", "n": n,
+                  "image_size": list(self.image_size),
+                  "image_dir": os.path.abspath(image_dir),
+                  "h5": os.path.basename(h5_path)}
+            cache = DecodedCache(cache_dir, fp)
+            if not cache.ready:
+                print(f"building decoded-image cache for {n} samples "
+                      f"at {cache_dir} ...")
+                cache.build(n, self._decode_invariant)
+            self._cache = cache
+
+    def _decode_invariant(self, index):
+        from PIL import Image
+
+        img_path = os.path.join(self.image_dir, self.image_paths[index])
+        with open(img_path, "rb") as f:
+            with Image.open(f) as image:
+                WW, HH = image.size
+                img = resize_image(image.convert("RGB"), self.image_size)
+        return {"image": np.asarray(img, np.uint8), "size": (WW, HH)}
+
     def __len__(self):
         num = self.data["object_names"].shape[0]
         return num if self.max_samples is None else min(self.max_samples, num)
@@ -67,14 +96,13 @@ class VgSceneGraphDataset:
         return self.getitem_at_epoch(index, self._epoch)
 
     def getitem_at_epoch(self, index, epoch: int):
-        from PIL import Image
-
-        img_path = os.path.join(self.image_dir, self.image_paths[index])
-        with open(img_path, "rb") as f:
-            with Image.open(f) as image:
-                WW, HH = image.size
-                img = resize_image(image.convert("RGB"), self.image_size)
-                arr = np.asarray(img, np.float32) / 255.0
+        if self._cache is not None and self._cache.ready:
+            c = self._cache.get(index)
+            arr_u8, (WW, HH) = c["image_u8"], c["size"]
+        else:
+            inv = self._decode_invariant(index)
+            arr_u8, (WW, HH) = inv["image"], inv["size"]
+        arr = arr_u8.astype(np.float32) / 255.0
         if self.normalize_images:
             arr = imagenet_preprocess(arr)
         image = arr.astype(np.float32)

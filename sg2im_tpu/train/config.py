@@ -25,6 +25,7 @@ class TrainConfig:
     num_val_samples: int = 1024
     shuffle_val: bool = True
     loader_num_workers: int = 4
+    cache_dir: str | None = None  # decoded-sample memmap cache (new here)
     include_relationships: bool = True
 
     # VG (train.py:67-73)

@@ -291,6 +291,70 @@ def test_vg_dataset_matches_reference(tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# Decoded-sample memmap cache (data/cache.py)
+# ---------------------------------------------------------------------------
+
+def test_coco_cache_bit_identical(tmp_path):
+    """Cached and uncached samples must agree bit-for-bit for every epoch
+    (the cache stores epoch-invariant decoded tensors; heuristic triples
+    are re-synthesized per epoch from the cached geometry)."""
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    kwargs = dict(image_dir=img_dir, instances_json=inst_path,
+                  stuff_json=stuff_path, image_size=(32, 32), mask_size=8,
+                  seed=3)
+    cache_dir = os.path.join(tmp_path, "cache")
+    plain = CocoSceneGraphDataset(**kwargs)
+    cached = CocoSceneGraphDataset(cache_dir=cache_dir, **kwargs)
+    assert cached._cache is not None and cached._cache.ready
+    for i in range(len(plain)):
+        for epoch in (0, 1, 5):
+            a = plain.getitem_at_epoch(i, epoch)
+            b = cached.getitem_at_epoch(i, epoch)
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+    # Re-construction must open the existing cache, not rebuild.
+    import sg2im_tpu.data.cache as cache_mod
+    orig_build = cache_mod.DecodedCache.build
+    try:
+        def boom(*a, **kw):
+            raise AssertionError("cache rebuilt despite matching meta")
+        cache_mod.DecodedCache.build = boom
+        again = CocoSceneGraphDataset(cache_dir=cache_dir, **kwargs)
+        assert again._cache.ready
+    finally:
+        cache_mod.DecodedCache.build = orig_build
+
+    # A config change (different mask_size) must invalidate, not serve
+    # stale tensors.
+    other = CocoSceneGraphDataset(
+        cache_dir=cache_dir, **dict(kwargs, mask_size=4))
+    assert other[0]["masks"].shape[-1] == 4
+
+
+def test_vg_cache_bit_identical(tmp_path):
+    vocab, h5_path, img_dir = _fake_vg(str(tmp_path))
+    kwargs = dict(vocab=vocab, h5_path=h5_path, image_dir=img_dir,
+                  image_size=(32, 32), max_objects=6, seed=5)
+    plain = VgSceneGraphDataset(**kwargs)
+    cached = VgSceneGraphDataset(
+        cache_dir=os.path.join(str(tmp_path), "vg_cache"), **kwargs)
+    assert cached._cache is not None and cached._cache.ready
+    for i in range(len(plain)):
+        for epoch in (0, 2):
+            a = plain.getitem_at_epoch(i, epoch)
+            b = cached.getitem_at_epoch(i, epoch)
+            for k in a:
+                if a[k] is None:
+                    assert b[k] is None
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+# ---------------------------------------------------------------------------
 # Padded loader
 # ---------------------------------------------------------------------------
 
