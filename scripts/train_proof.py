@@ -119,6 +119,9 @@ def main(argv=None):
     ap.add_argument("--checkpoint_every", type=int, default=None,
                     help="eval/checkpoint interval (default: only at the "
                          "end) — set for interval IoU traces")
+    ap.add_argument("--cache", type=int, default=0,
+                    help="1: train through the --cache_dir decoded-sample "
+                         "cache (samples are bit-identical either way)")
     ap.add_argument("--report", default=None,
                     help="markdown report path (default <repo>/TRAIN_PROOF.md)")
     args = ap.parse_args(argv)
@@ -166,6 +169,8 @@ def main(argv=None):
     ]
     if args.bf16:
         flags += ["--bf16_compute", "1"]
+    if args.cache:
+        flags += ["--cache_dir", os.path.join(args.out, "cache")]
     import contextlib
     import io
 
