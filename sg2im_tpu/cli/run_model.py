@@ -39,6 +39,12 @@ def build_parser():
                         help="bf16 CRN activation chain (+4%% throughput at "
                              "64 dB PSNR vs f32; default off for exact-f32 "
                              "reference numerics)")
+    parser.add_argument("--dense_precision", default=None,
+                        choices=["high", "highest"],
+                        help="GCN/head Dense matmul precision: 'high' "
+                             "(3-pass bf16, +5%% e2e at unchanged PSNR — "
+                             "the serving mode bench.py measures) vs the "
+                             "default parity-grade 'highest'")
     return parser
 
 
@@ -60,7 +66,9 @@ def main(args=None):
 
         compute_dtype = jnp.bfloat16
     engine = InferenceEngine.from_torch_checkpoint(
-        args.checkpoint, compute_dtype=compute_dtype)
+        args.checkpoint, compute_dtype=compute_dtype,
+        dense_precision=(None if args.dense_precision == "highest"
+                         else args.dense_precision))
 
     with open(args.scene_graphs_json) as f:
         scene_graphs = json.load(f)

@@ -32,7 +32,7 @@ class InferenceEngine:
     """Holds a generator + converted variables and serves generation calls."""
 
     def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8,
-                 mesh=None, compute_dtype=None):
+                 mesh=None, compute_dtype=None, dense_precision=None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         generation batches shard over it (params replicated), scaling
         serving throughput across chips.
@@ -40,11 +40,17 @@ class InferenceEngine:
         ``compute_dtype``: e.g. ``jnp.bfloat16`` for the bf16 CRN
         activation chain (+4% e2e at 64 dB PSNR vs f32 — the bench's
         default mode); ``None`` (default) keeps exact-f32 reference
-        numerics."""
+        numerics.
+
+        ``dense_precision``: e.g. ``'high'`` (3-pass bf16, ~f32-accurate)
+        for the GCN/head Dense layers — a serving speed knob; ``None``
+        (default) keeps the parity-grade HIGHEST."""
         self.vocab = vocab
         self.model_kwargs = dict(model_kwargs)
         if compute_dtype is not None:
             self.model_kwargs["compute_dtype"] = compute_dtype
+        if dense_precision is not None:
+            self.model_kwargs["dense_precision"] = dense_precision
         self.model = Sg2ImGenerator(vocab=vocab, **self.model_kwargs)
         self.mesh = mesh
         if mesh is not None:

@@ -98,10 +98,17 @@ class Sg2ImGenerator(nn.Module):
     mask_size: int | None = None
     mlp_normalization: str = "none"
     layout_noise_dim: int = 0
-    compute_dtype: object = None  # bf16 CRN convs when set (perf mode)
+    compute_dtype: object = None  # bf16 CRN convs when set (perf mode);
+    #   also narrows the layout-compose warp intermediate to bf16 (the
+    #   536 MB/b128 tensor the roofline flagged) — the layout feeds the
+    #   bf16 CRN either way, and measured PSNR is unchanged (bench.py).
     crn_mode: str = "legacy"  # RefinementNetwork.conv0_mode: 'legacy',
     #   'phase', or 'packed' (exact space-to-depth reformulation of the
     #   high-res CRN stages; see nn/crn.py)
+    dense_precision: object = None  # None -> HIGHEST (parity default).
+    #   Serving may pass 'high' (3-pass bf16 ~f32-accurate) to halve the
+    #   GCN/head Dense time — measured PSNR-safe, never the default
+    #   (CLAUDE.md hard rule protects checkpoint parity).
 
     @nn.compact
     def __call__(self, objs, triples, obj_mask=None, triple_mask=None,
@@ -150,7 +157,8 @@ class Sg2ImGenerator(nn.Module):
                 self.gconv_dim,
                 kernel_init=torch_linear_kernel_init(),
                 bias_init=torch_linear_bias_init(self.embedding_dim),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=self.dense_precision
+                or jax.lax.Precision.HIGHEST,
                 name="gconv",
             )(obj_vecs)
         else:
@@ -160,6 +168,7 @@ class Sg2ImGenerator(nn.Module):
                 hidden_dim=self.gconv_hidden_dim,
                 pooling=self.gconv_pooling,
                 mlp_normalization=self.mlp_normalization,
+                mlp_precision=self.dense_precision,
                 name="gconv",
             )(obj_vecs, pred_vecs, edges, triple_mask, train=train,
               obj_mask=obj_mask)
@@ -170,13 +179,15 @@ class Sg2ImGenerator(nn.Module):
                 pooling=self.gconv_pooling,
                 num_layers=self.gconv_num_layers - 1,
                 mlp_normalization=self.mlp_normalization,
+                mlp_precision=self.dense_precision,
                 name="gconv_net",
             )(obj_vecs, pred_vecs, edges, triple_mask, train=train,
               obj_mask=obj_mask)
 
         boxes_pred = MLP(
             (self.gconv_dim, self.gconv_hidden_dim, 4),
-            batch_norm=self.mlp_normalization, name="box_net"
+            batch_norm=self.mlp_normalization,
+            precision=self.dense_precision, name="box_net"
         )(obj_vecs, train=train, mask=obj_mask)
 
         masks_pred = None
@@ -200,17 +211,20 @@ class Sg2ImGenerator(nn.Module):
                                      axis=-1)
         rel_scores = MLP(
             (2 * self.embedding_dim + 8, self.gconv_hidden_dim, num_preds),
-            batch_norm=self.mlp_normalization, name="rel_aux_net",
+            batch_norm=self.mlp_normalization,
+            precision=self.dense_precision, name="rel_aux_net",
         )(rel_aux_in, train=train, mask=triple_mask)
 
         H, W = self.image_size
         layout_boxes = boxes_pred if boxes_gt is None else boxes_gt
         if masks_pred is None:
-            layout = boxes_to_layout(obj_vecs, layout_boxes, obj_mask, H, W)
+            layout = boxes_to_layout(obj_vecs, layout_boxes, obj_mask, H, W,
+                                     compute_dtype=self.compute_dtype)
         else:
             layout_masks = masks_pred if masks_gt is None else masks_gt
             layout = masks_to_layout(obj_vecs, layout_boxes, layout_masks,
-                                     obj_mask, H, W)
+                                     obj_mask, H, W,
+                                     compute_dtype=self.compute_dtype)
 
         if self.layout_noise_dim > 0:
             N = layout.shape[0]

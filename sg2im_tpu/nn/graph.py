@@ -73,6 +73,7 @@ class GraphTripleConv(nn.Module):
     hidden_dim: int = 512
     pooling: str = "avg"
     mlp_normalization: str = "none"
+    mlp_precision: object = None  # None -> HIGHEST; see MLP.precision
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, triple_mask=None,
@@ -102,6 +103,7 @@ class GraphTripleConv(nn.Module):
             (3 * self.input_dim, H, 2 * H + Dout),
             batch_norm=self.mlp_normalization,
             kernel_init_name="kaiming_normal",
+            precision=self.mlp_precision,
             name="net1",
         )(cur_t, train=train, mask=triple_mask)
 
@@ -115,6 +117,7 @@ class GraphTripleConv(nn.Module):
             (H, H, Dout),
             batch_norm=self.mlp_normalization,
             kernel_init_name="kaiming_normal",
+            precision=self.mlp_precision,
             name="net2",
         )(pooled, train=train, mask=obj_mask)
         return new_obj, new_p
@@ -128,6 +131,7 @@ class GraphTripleConvNet(nn.Module):
     hidden_dim: int = 512
     pooling: str = "avg"
     mlp_normalization: str = "none"
+    mlp_precision: object = None  # None -> HIGHEST; see MLP.precision
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, triple_mask=None,
@@ -138,6 +142,7 @@ class GraphTripleConvNet(nn.Module):
                 hidden_dim=self.hidden_dim,
                 pooling=self.pooling,
                 mlp_normalization=self.mlp_normalization,
+                mlp_precision=self.mlp_precision,
                 name=f"gconvs_{i}",
             )(obj_vecs, pred_vecs, edges, triple_mask, train=train,
               obj_mask=obj_mask)

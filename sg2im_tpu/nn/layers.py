@@ -211,6 +211,10 @@ class MLP(nn.Module):
     dropout: float = 0.0
     final_nonlinearity: bool = True
     kernel_init_name: str = "torch_linear"  # or 'kaiming_normal'
+    precision: object = None  # None -> HIGHEST (the parity default); a
+    #   serving deployment may pass 'high' (3-pass bf16, ~f32-accurate)
+    #   to halve Dense time — measured fidelity-safe (see bench.py PSNR
+    #   fields / ARCHITECTURE §7) but never the default.
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -241,7 +245,7 @@ class MLP(nn.Module):
                     spec.dout,
                     kernel_init=kinit,
                     bias_init=torch_linear_bias_init(spec.din),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=self.precision or jax.lax.Precision.HIGHEST,
                     name=f"layer{spec.torch_idx}",
                 )(x)
             elif spec.kind == "bn":

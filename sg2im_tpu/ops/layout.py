@@ -100,7 +100,9 @@ def _compose(warp, vecs, obj_mask, pooling: str):
     """layout[n] = sum_o warp[n, o] * vecs[n, o]  — batched MXU matmul.
 
     Args:
-      warp: (N, O, H, W) warp coefficients.
+      warp: (N, O, H, W) warp coefficients (f32, or bf16 in the
+        compute_dtype serving mode — products still accumulate in f32 via
+        preferred_element_type).
       vecs: (N, O, D) object vectors.
       obj_mask: (N, O) validity mask (padding slots contribute nothing) or
         None.
@@ -108,13 +110,16 @@ def _compose(warp, vecs, obj_mask, pooling: str):
         (divide by per-image object count, ``layout.py:150-158``).
 
     Returns:
-      (N, H, W, D) layout, NHWC.
+      (N, H, W, D) layout, NHWC, f32.
     """
     N, O, H, W = warp.shape
     if obj_mask is not None:
         warp = warp * obj_mask[:, :, None, None].astype(warp.dtype)
     flat = warp.reshape(N, O, H * W)
-    out = jnp.einsum("noP,nod->nPd", flat, vecs, precision="highest").reshape(N, H, W, -1)
+    out = jnp.einsum("noP,nod->nPd", flat, vecs.astype(flat.dtype),
+                     precision="highest",
+                     preferred_element_type=jnp.float32,
+                     ).reshape(N, H, W, -1)
     if pooling == "avg":
         if obj_mask is None:
             counts = jnp.full((N,), O, dtype=out.dtype)
@@ -127,7 +132,7 @@ def _compose(warp, vecs, obj_mask, pooling: str):
 
 
 def boxes_to_layout(vecs, boxes, obj_mask, H: int, W: int | None = None,
-                    pooling: str = "sum"):
+                    pooling: str = "sum", compute_dtype=None):
     """Padded-batch layout composition from boxes only.
 
     Args:
@@ -135,17 +140,25 @@ def boxes_to_layout(vecs, boxes, obj_mask, H: int, W: int | None = None,
       boxes: (N, O, 4) boxes [x0, y0, x1, y1] in [0, 1].
       obj_mask: (N, O) bool/int validity mask, or None if all slots real.
       H, W: output resolution.
+      compute_dtype: e.g. bf16 — narrows the (N, O, H, W) warp
+        intermediate (the compose's dominant HBM tensor; tent weights are
+        still constructed in f32, and the compose accumulates in f32).
+        Only set when the consumer is the bf16 CRN chain.
 
     Returns:
       (N, H, W, D) layout.  NHWC analogue of reference
       ``boxes_to_layout`` (``sg2im/layout.py:30-63``).
     """
     W = H if W is None else W
-    return _compose(box_warp(boxes, H, W), vecs, obj_mask, pooling)
+    warp = box_warp(boxes, H, W)
+    if compute_dtype is not None:
+        warp = warp.astype(compute_dtype)
+    return _compose(warp, vecs, obj_mask, pooling)
 
 
 def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
-                    pooling: str = "sum", backend: str = "auto"):
+                    pooling: str = "sum", backend: str = "auto",
+                    compute_dtype=None):
     """Padded-batch layout composition modulated by per-object masks.
 
     NHWC analogue of reference ``masks_to_layout`` (``sg2im/layout.py:66-91``).
@@ -156,6 +169,8 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
       backend: 'auto' (XLA unless SG2IM_TPU_FORCE_PALLAS=1 opts into the
         fused kernel on TPU — see pallas_available), 'xla', 'pallas',
         'pallas-v2', or 'pallas-interpret' (for CPU testing).
+      compute_dtype: e.g. bf16 — narrows the (N, O, H, W) warp
+        intermediate (see boxes_to_layout; XLA path only).
     """
     from sg2im_tpu.ops.pallas.layout_kernel import (
         fused_layout_compose,
@@ -181,7 +196,12 @@ def masks_to_layout(vecs, boxes, masks, obj_mask, H: int, W: int | None = None,
             out = fused_layout_compose(
                 wy, wx, masks, v, backend == "pallas-interpret")
         return _apply_avg(out, obj_mask, pooling, vecs.shape[1])
-    return _compose(mask_warp(boxes, masks, H, W), vecs, obj_mask, pooling)
+    warp = mask_warp(boxes, masks, H, W)
+    if compute_dtype is not None:
+        # The cast fuses into the producing matmul's epilogue, so the
+        # stored intermediate is half-width (536 -> 268 MB at vg128/b128).
+        warp = warp.astype(compute_dtype)
+    return _compose(warp, vecs, obj_mask, pooling)
 
 
 def _apply_avg(out, obj_mask, pooling: str, num_objs: int):

@@ -156,6 +156,37 @@ def test_utils():
     assert masked == 0.0 and masked == masked  # finite, not NaN
 
 
+def test_dense_precision_knob_plumbs():
+    """dense_precision='high' is a TPU serving knob (3-pass bf16 dots);
+    on the CPU test backend precision does not change numerics, so this
+    pins the kwarg plumbing end-to-end: same params tree, identical
+    outputs vs the HIGHEST default here, real effect measured on TPU by
+    bench.py (psnr_db_vs_reference at +5% e2e)."""
+    import jax
+
+    from sg2im_tpu.models import Sg2ImGenerator
+
+    vocab = {"object_idx_to_name": ["__image__", "a", "b"],
+             "pred_idx_to_name": ["__in_image__", "p"]}
+    kw = dict(image_size=(16, 16), embedding_dim=8, gconv_dim=12,
+              gconv_hidden_dim=16, gconv_num_layers=2,
+              refinement_dims=(12, 8), mask_size=4, layout_noise_dim=4)
+    objs = jnp.asarray([[1, 2, 0]])
+    triples = jnp.asarray([[[0, 1, 1], [0, 0, 2], [1, 0, 2]]])
+    om = jnp.ones((1, 3))
+    tm = jnp.ones((1, 3))
+    noise = jnp.zeros((1, 16, 16, 4))
+    outs = {}
+    for name, extra in (("hi", {}), ("high", {"dense_precision": "high"})):
+        gen = Sg2ImGenerator(vocab=vocab, **kw, **extra)
+        v = gen.init({"params": jax.random.PRNGKey(0)}, objs, triples, om,
+                     tm, train=False, layout_noise=noise)
+        outs[name] = gen.apply(v, objs, triples, om, tm, train=False,
+                               layout_noise=noise)[0]
+    np.testing.assert_array_equal(np.asarray(outs["hi"]),
+                                  np.asarray(outs["high"]))
+
+
 def test_masked_losses_edge_cases():
     from sg2im_tpu.losses import cross_entropy, masked_mean
 
