@@ -122,6 +122,13 @@ def main(argv=None):
     ap.add_argument("--cache", type=int, default=0,
                     help="1: train through the --cache_dir decoded-sample "
                          "cache (samples are bit-identical either way)")
+    ap.add_argument("--eval_mode_after", type=int, default=None,
+                    help="passthrough: switch to eval-mode BN + fresh G "
+                         "Adam at this iteration (long-horizon regime-"
+                         "switch proofs)")
+    ap.add_argument("--snapshot_every", type=int, default=None,
+                    help="passthrough: reference-layout .pt snapshot "
+                         "cadence")
     ap.add_argument("--report", default=None,
                     help="markdown report path (default <repo>/TRAIN_PROOF.md)")
     args = ap.parse_args(argv)
@@ -171,6 +178,10 @@ def main(argv=None):
         flags += ["--bf16_compute", "1"]
     if args.cache:
         flags += ["--cache_dir", os.path.join(args.out, "cache")]
+    if args.eval_mode_after is not None:
+        flags += ["--eval_mode_after", str(args.eval_mode_after)]
+    if args.snapshot_every is not None:
+        flags += ["--snapshot_every", str(args.snapshot_every)]
     import contextlib
     import io
 

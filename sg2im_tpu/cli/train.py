@@ -127,7 +127,34 @@ def build_parser():
                    help="bf16 CRN convs + bf16 inter-conv activation chain "
                         "(+4.3%% e2e inference on v5e at 64 dB PSNR vs f32; "
                         "train-mode BN stats stay f32)")
+    p.add_argument("--log_jsonl", default=True, type=bool_flag,
+                   help="append scalar records to <output_dir>/log.jsonl "
+                        "(one JSON object per print/eval event — a "
+                        "machine-readable mirror of the stdout stream for "
+                        "dashboards; the in-checkpoint histories remain "
+                        "the canonical record)")
     return p
+
+
+def make_scalar_logger(config: TrainConfig, process_index: int = 0):
+    """Append-mode JSONL scalar stream (``<output_dir>/log.jsonl``).
+
+    TPU-native extension (the reference only prints to stdout,
+    ``scripts/train.py:524-560``): one JSON object per print/eval event so
+    dashboards can tail the run without parsing stdout or unpacking the
+    checkpoint histories.  Appends across restarts — ``t`` identifies the
+    step, so a resumed run continues the same stream.  No-op on non-zero
+    processes under --multihost (metrics are already globally reduced).
+    """
+    if not config.log_jsonl or process_index != 0:
+        return lambda record: None
+    path = os.path.join(config.output_dir, "log.jsonl")
+
+    def write(record):
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    return write
 
 
 def config_from_args(args) -> TrainConfig:
@@ -344,6 +371,7 @@ def main(argv=None):
     sample_history = {"train_samples": [], "train_batch_data": [],
                       "val_samples": [], "val_batch_data": []}
     os.makedirs(config.output_dir, exist_ok=True)
+    log_scalars = make_scalar_logger(config, jax.process_index())
     ckpt_path = os.path.join(config.output_dir,
                              f"{config.checkpoint_name}_state")
     if config.restore_from_checkpoint and os.path.exists(ckpt_path):
@@ -387,11 +415,14 @@ def main(argv=None):
                         for name, ms in trainer.step_breakdown(
                                 state, batch).items():
                             print(f"  {name}: {ms:.2f}ms")
+                    scalars = {}
                     for name, val in sorted(metrics.items()):
                         v = float(val)
                         print(f"  [{name}]: {v:.4f}")
                         history["losses"][name].append(v)
+                        scalars[name] = v
                     history["losses_ts"].append(t)
+                    log_scalars({"kind": "train", "t": t, **scalars})
 
                 if t % config.checkpoint_every == 0:
                     print("checking on train")
@@ -416,6 +447,11 @@ def main(argv=None):
                     sample_history["val_batch_data"].append(v_bd)
                     for k, v in val_losses.items():
                         history["val_losses"][k].append(v)
+                    log_scalars({"kind": "eval", "t": t,
+                                 "train_iou": float(t_iou),
+                                 "val_iou": float(val_iou),
+                                 **{f"val_{k}": float(v)
+                                    for k, v in val_losses.items()}})
                     trainer.save_checkpoint(
                         state, ckpt_path,
                         extra={k: (dict(v) if isinstance(v, defaultdict)

@@ -103,6 +103,7 @@ class TrainConfig:
     seed: int = 0
     data_parallel: int = 1     # mesh size along the 'data' axis
     bf16_compute: bool = False # mixed-precision conv/matmul compute
+    log_jsonl: bool = True     # stream scalars to <output_dir>/log.jsonl
 
     @property
     def use_obj_discriminator(self) -> bool:

@@ -161,6 +161,19 @@ def test_train_cli_and_resume(tmp_path, capsys):
     assert {"objs", "triples", "obj_mask", "triple_mask",
             "masks_gt", "masks_pred"} <= set(bd)
 
+    # --log_jsonl (default on) mirrors the stdout scalars to a
+    # machine-readable stream: one record per print (kind=train) and per
+    # eval (kind=eval, with IoUs + val losses).
+    log_path = os.path.join(out_dir, "log.jsonl")
+    with open(log_path) as f:
+        records = [json.loads(line) for line in f]
+    train_recs = [r for r in records if r["kind"] == "train"]
+    eval_recs = [r for r in records if r["kind"] == "eval"]
+    assert [r["t"] for r in train_recs] == [1, 2, 3, 4]  # print_every=1
+    assert "total_loss" in train_recs[0]
+    assert [r["t"] for r in eval_recs] == [2, 4]  # checkpoint_every=2
+    assert {"train_iou", "val_iou", "val_total_loss"} <= set(eval_recs[0])
+
     # Resume and run 2 more iterations.
     flags2 = _coco_flags(tmp_path) + [
         "--num_iterations", "6", "--output_dir", out_dir,
@@ -169,6 +182,12 @@ def test_train_cli_and_resume(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "Restored checkpoint at t=4" in captured
     assert "t = 6 / 6" in captured
+
+    # The scalar stream appends across the restart (t identifies steps).
+    with open(log_path) as f:
+        records = [json.loads(line) for line in f]
+    assert [r["t"] for r in records if r["kind"] == "train"] == \
+        [1, 2, 3, 4, 5, 6]
 
 
 def test_sample_images_cli(tmp_path, monkeypatch):
