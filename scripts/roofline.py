@@ -56,9 +56,11 @@ def measure(name, fn, args, iters=20, correct=True):
     ~2 ms per async dispatch, which would swamp sub-5 ms sections)."""
     import jax
 
-    jfn = jax.jit(fn)
-    lowered = jfn.lower(*args)
-    compiled = lowered.compile()
+    # One AOT compile per section: execute the compiled executable
+    # directly rather than calling jax.jit(fn)(*args), which would pay a
+    # SECOND trace+compile through the tunnel (the AOT result does not
+    # seed the jit dispatch cache).
+    compiled = jax.jit(fn).lower(*args).compile()
     flops = bytes_ = None
     try:
         ca = compiled.cost_analysis()
@@ -68,13 +70,13 @@ def measure(name, fn, args, iters=20, correct=True):
     except Exception as e:  # pragma: no cover
         print(f"  ({name}: cost_analysis unavailable: {e!r})",
               file=sys.stderr)
-    out = jfn(*args)
+    out = compiled(*args)
     sync(out)
-    out = jfn(*args)
+    out = compiled(*args)
     sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jfn(*args)
+        out = compiled(*args)
     sync(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
     if correct:

@@ -34,6 +34,17 @@ import os
 import numpy as np
 
 
+def file_sig(path) -> list | None:
+    """Identity of a source file for cache fingerprints: [abspath, size,
+    mtime_ns].  Basenames or paths alone are not enough — re-generating a
+    source file (new preprocess run, edited annotations) must invalidate
+    any cache keyed on it."""
+    if path is None:
+        return None
+    st = os.stat(path)
+    return [os.path.abspath(path), st.st_size, st.st_mtime_ns]
+
+
 class DecodedCache:
     """Build/read a memmap cache of epoch-invariant decoded samples.
 
@@ -89,6 +100,11 @@ class DecodedCache:
         (ragged per-object tensors, require ``O_cap`` — the dataset's
         per-image object cap) and size (2,) (original WxH, for datasets
         that re-derive geometry per epoch, e.g. VG)."""
+        if n <= 0:
+            raise ValueError(
+                "refusing to build a decoded-sample cache for an empty "
+                "dataset (0 samples after filtering) — check the dataset "
+                "filters / --num_train_samples")
         os.makedirs(self.dir, exist_ok=True)
         first = decode_fn(0)
         H, W = first["image"].shape[:2]
@@ -106,7 +122,16 @@ class DecodedCache:
             shapes["masks"] = (n, O_cap, M, M)
         if has_size:
             shapes["sizes"] = (n, 2)
-        arrays = {name: np.memmap(self._path(name, self.ARRAYS[name]),
+        # Build into per-process tmp files, then atomically os.replace into
+        # place (meta.json last).  Concurrent builders — e.g. a multihost
+        # start skew where a straggler begins building while another
+        # process already reads — never truncate live files: each writes
+        # its own tmp set, replace is atomic, and an already-open reader
+        # keeps its old inode.  Last build wins with identical bytes
+        # (decode is deterministic).
+        tmp_suffix = f".tmp.{os.getpid()}"
+        arrays = {name: np.memmap(self._path(name, self.ARRAYS[name])
+                                  + tmp_suffix,
                                   dtype=self.ARRAYS[name], mode="w+",
                                   shape=shape)
                   for name, shape in shapes.items()}
@@ -128,19 +153,29 @@ class DecodedCache:
                 arrays["sizes"][i] = s["size"]
             if progress_every and i and i % progress_every == 0:
                 print(f"  cache build: {i}/{n}")
-        for a in arrays.values():
+        for name, a in arrays.items():
             a.flush()
-        with open(os.path.join(self.dir, "meta.json"), "w") as f:
+            final = self._path(name, self.ARRAYS[name])
+            os.replace(final + tmp_suffix, final)
+        meta_path = os.path.join(self.dir, "meta.json")
+        with open(meta_path + tmp_suffix, "w") as f:
             json.dump({"fingerprint": self.fingerprint,
                        "shapes": {k: list(v) for k, v in shapes.items()}},
                       f)
+        os.replace(meta_path + tmp_suffix, meta_path)
         self._arrays = {k: np.memmap(self._path(k, self.ARRAYS[k]),
                                      dtype=self.ARRAYS[k], mode="r",
                                      shape=shapes[k])
                         for k in arrays}
 
     def get(self, i: int) -> dict:
-        """Epoch-invariant tensors for sample ``i`` (copies, not views)."""
+        """Epoch-invariant tensors for sample ``i``.
+
+        ``image_u8`` and ``boxes`` are READ-ONLY views into the memmap
+        (zero-copy; the dtype-converting fields are fresh arrays).  Every
+        in-tree consumer copies on its first transform (normalize /
+        collate-pad); a caller that wants to mutate in place must
+        ``np.array(...)`` first."""
         a = self._arrays
         out = {"image_u8": np.asarray(a["images"][i])}
         if "objs" in a:

@@ -152,11 +152,29 @@ class CocoSceneGraphDataset:
         if cache_dir:
             from sg2im_tpu.data.cache import DecodedCache
 
+            from sg2im_tpu.data.cache import file_sig
+
             n = len(self)
+            # Everything the decoded tensors depend on: source-file
+            # identity (size+mtime — re-annotated JSONs must invalidate)
+            # and every object-selection knob (a changed filter can keep n
+            # and the id endpoints identical while changing which objects
+            # each sample carries).
             fp = {"dataset": "coco", "n": n,
                   "image_size": list(self.image_size),
                   "mask_size": mask_size,
                   "image_dir": os.path.abspath(image_dir),
+                  "instances": file_sig(instances_json),
+                  "stuff": file_sig(stuff_json),
+                  "filters": {
+                      "min_object_size": min_object_size,
+                      "min_objects_per_image": min_objects_per_image,
+                      "max_objects_per_image": max_objects_per_image,
+                      "include_other": bool(include_other),
+                      "stuff_only": bool(stuff_only),
+                      "instance_whitelist": sorted(instance_whitelist),
+                      "stuff_whitelist": sorted(stuff_whitelist),
+                  },
                   "ids": [int(self.image_ids[0]), int(self.image_ids[-1])]
                   if n else []}
             cache = DecodedCache(cache_dir, fp)

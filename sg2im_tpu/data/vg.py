@@ -59,11 +59,17 @@ class VgSceneGraphDataset:
         if cache_dir:
             from sg2im_tpu.data.cache import DecodedCache
 
+            from sg2im_tpu.data.cache import file_sig
+
             n = len(self)
+            # The cached images are indexed by THIS h5's image_paths
+            # ordering — key on the file's full identity (abspath + size +
+            # mtime), not its basename, so a re-preprocessed h5 at the
+            # same name invalidates the cache.
             fp = {"dataset": "vg", "n": n,
                   "image_size": list(self.image_size),
                   "image_dir": os.path.abspath(image_dir),
-                  "h5": os.path.basename(h5_path)}
+                  "h5": file_sig(h5_path)}
             cache = DecodedCache(cache_dir, fp)
             if not cache.ready:
                 print(f"building decoded-image cache for {n} samples "

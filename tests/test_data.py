@@ -333,6 +333,57 @@ def test_coco_cache_bit_identical(tmp_path):
         cache_dir=cache_dir, **dict(kwargs, mask_size=4))
     assert other[0]["masks"].shape[-1] == 4
 
+    # No build residue: the atomic tmp-then-replace build must leave only
+    # the final files.
+    assert not [f for f in os.listdir(cache_dir) if ".tmp." in f]
+
+
+def test_coco_cache_invalidates_on_filters_and_source(tmp_path):
+    """The fingerprint must cover object-selection knobs and source-file
+    identity: a changed filter (same n, same id endpoints) or a
+    re-written annotations JSON may not serve stale decoded tensors."""
+    import sg2im_tpu.data.cache as cache_mod
+
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    kwargs = dict(image_dir=img_dir, instances_json=inst_path,
+                  stuff_json=stuff_path, image_size=(32, 32), mask_size=8,
+                  seed=3)
+    cache_dir = os.path.join(tmp_path, "cache")
+    CocoSceneGraphDataset(cache_dir=cache_dir, **kwargs)
+
+    builds = []
+    orig_build = cache_mod.DecodedCache.build
+
+    def counting_build(self, *a, **kw):
+        builds.append(1)
+        return orig_build(self, *a, **kw)
+
+    cache_mod.DecodedCache.build = counting_build
+    try:
+        # Filter change: n and first/last image ids stay identical here,
+        # but per-sample object sets could differ -> must rebuild.
+        CocoSceneGraphDataset(
+            cache_dir=cache_dir, **dict(kwargs, min_object_size=0.0001))
+        assert builds, "filter change did not invalidate the cache"
+        builds.clear()
+        # Source rewrite at the same path (size/mtime change).
+        with open(inst_path) as f:
+            blob = f.read()
+        with open(inst_path, "w") as f:
+            f.write(blob + " ")
+        CocoSceneGraphDataset(cache_dir=cache_dir, **kwargs)
+        assert builds, "rewritten instances_json did not invalidate"
+    finally:
+        cache_mod.DecodedCache.build = orig_build
+
+
+def test_cache_empty_dataset_raises(tmp_path):
+    from sg2im_tpu.data.cache import DecodedCache
+
+    cache = DecodedCache(os.path.join(tmp_path, "c"), {"n": 0})
+    with pytest.raises(ValueError, match="empty"):
+        cache.build(0, lambda i: None)
+
 
 def test_vg_cache_bit_identical(tmp_path):
     vocab, h5_path, img_dir = _fake_vg(str(tmp_path))
