@@ -136,6 +136,35 @@ class InferenceEngine:
         return {"imgs": imgs, "boxes": boxes, "masks": masks,
                 "rel_scores": rel_scores}
 
+    def warmup(self, batch_sizes=(1,), scene_graph=None, seed: int = 0):
+        """Precompile the serving program for the given graph-count
+        buckets so the first real request never pays the (multi-minute on
+        TPU) compile.
+
+        Runs a trivial scene graph (or a caller-supplied representative
+        one — it determines the object/triple pad bucket, default
+        ``pad_align``) through :meth:`generate` at each batch size.
+        Production servers call this once at startup; later requests
+        whose padded shapes land in a warmed bucket dispatch straight to
+        the cached executable.
+
+        Returns the list of padded (N, O, T) bucket shapes compiled.
+        """
+        sg = scene_graph or {"objects": [], "relationships": []}
+        shapes = []
+        for n in batch_sizes:
+            batch = encode_scene_graphs([sg] * n, self.vocab,
+                                        align=self.pad_align)
+            self.generate([sg] * n, noise="zeros", seed=seed,
+                          deprocess=False)
+            n_pad = max(1, 1 << (n - 1).bit_length())
+            if self.mesh is not None:
+                d = self.mesh.shape["data"]
+                n_pad = max(n_pad, ((n_pad + d - 1) // d) * d)
+            shapes.append((n_pad,) + (batch.objs.shape[1],
+                                      batch.triples.shape[1]))
+        return shapes
+
     def generate(self, scene_graphs, noise=None, seed: int = 0,
                  deprocess: bool = True):
         """JSON scene graph(s) -> images (uint8 NHWC if deprocess).

@@ -162,6 +162,32 @@ def test_engine_batch_bucketing(tmp_path, torch04_semantics):
                                np.asarray(out3["imgs"][0]), atol=1e-5)
 
 
+def test_engine_warmup_precompiles_buckets(tmp_path, torch04_semantics):
+    """warmup() compiles the serving program per batch bucket; later
+    requests landing in a warmed bucket reuse the cached executable
+    (no new trace) and the warmup graph does not perturb outputs."""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    engine = InferenceEngine.from_torch_checkpoint(ckpt_path)
+
+    shapes = engine.warmup(batch_sizes=(1, 3))
+    assert [s[0] for s in shapes] == [1, 4]  # power-of-two buckets
+    assert all(s[1] % engine.pad_align == 0 for s in shapes)
+    n_compiled = engine._fwd._cache_size()
+    assert n_compiled >= 2
+
+    # Real requests in the warmed buckets: no additional compilation.
+    imgs1, _ = engine.generate(SCENE_GRAPHS[0], noise="zeros")
+    imgs3, _ = engine.generate(SCENE_GRAPHS + [SCENE_GRAPHS[0]],
+                               noise="zeros")
+    assert imgs1.shape[0] == 1 and imgs3.shape[0] == 3
+    assert engine._fwd._cache_size() == n_compiled
+
+    # Output identical to a fresh (unwarmed) engine.
+    fresh = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    f1, _ = fresh.generate(SCENE_GRAPHS[0], noise="zeros")
+    np.testing.assert_array_equal(np.asarray(imgs1), np.asarray(f1))
+
+
 def test_engine_sharded_generation(tmp_path, torch04_semantics):
     """Sharded (8-way 'data' mesh) generation matches single-device."""
     import jax
