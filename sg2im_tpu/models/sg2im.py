@@ -226,6 +226,14 @@ class Sg2ImGenerator(nn.Module):
                                      obj_mask, H, W,
                                      compute_dtype=self.compute_dtype)
 
+        if self.compute_dtype is not None:
+            # Narrow the layout BEFORE the noise concat: the cast fuses
+            # into the compose epilogue, so the (N, H, W, D+noise)
+            # full-res tensor — the CRN's biggest input — is stored
+            # half-width and never round-trips HBM as f32 (the CRN
+            # consumes compute_dtype everywhere anyway; its pyramid
+            # pooling then also runs half-width).
+            layout = layout.astype(self.compute_dtype)
         if self.layout_noise_dim > 0:
             N = layout.shape[0]
             if layout_noise is None:
@@ -234,7 +242,8 @@ class Sg2ImGenerator(nn.Module):
                     (N, H, W, self.layout_noise_dim),
                     dtype=layout.dtype,
                 )
-            layout = jnp.concatenate([layout, layout_noise], axis=-1)
+            layout = jnp.concatenate(
+                [layout, layout_noise.astype(layout.dtype)], axis=-1)
 
         imgs = RefinementNetwork(
             dims=(self.gconv_dim + self.layout_noise_dim,)

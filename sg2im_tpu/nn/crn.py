@@ -454,8 +454,11 @@ class RefinementNetwork(nn.Module):
             pyramid.append(avg_pool_2d(pyramid[-1], 2))
         pyramid = pyramid[::-1]  # lowest resolution first
         if self.compute_dtype is not None:
-            # Pool in f32 (exact), store each level in compute_dtype: the
-            # per-stage layout reads are then half-width in HBM.
+            # Store each level in compute_dtype: per-stage layout reads
+            # are half-width in HBM.  The generator already feeds the
+            # layout in compute_dtype (cast pre-concat, models/sg2im.py),
+            # making these casts no-ops and the pooling chain itself
+            # half-width; an f32 caller still gets levels narrowed here.
             pyramid = [p.astype(self.compute_dtype) for p in pyramid]
 
         # The nearest-2x upsample between stages is fused into each module's
