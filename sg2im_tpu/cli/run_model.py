@@ -45,6 +45,12 @@ def build_parser():
                              "(3-pass bf16, +5%% e2e at unchanged PSNR — "
                              "the serving mode bench.py measures) vs the "
                              "default parity-grade 'highest'")
+    parser.add_argument("--crn_mode", default=None,
+                        choices=["legacy", "phase", "split", "packed"],
+                        help="CRN stage-conv formulation: 'split' (+5%% "
+                             "e2e, exact up to sum reassociation — the "
+                             "serving mode bench.py measures) vs the "
+                             "default reference-shaped 'legacy'")
     return parser
 
 
@@ -68,7 +74,8 @@ def main(args=None):
     engine = InferenceEngine.from_torch_checkpoint(
         args.checkpoint, compute_dtype=compute_dtype,
         dense_precision=(None if args.dense_precision == "highest"
-                         else args.dense_precision))
+                         else args.dense_precision),
+        crn_mode=(None if args.crn_mode == "legacy" else args.crn_mode))
 
     with open(args.scene_graphs_json) as f:
         scene_graphs = json.load(f)

@@ -127,6 +127,13 @@ def build_parser():
                    help="bf16 CRN convs + bf16 inter-conv activation chain "
                         "(+4.3%% e2e inference on v5e at 64 dB PSNR vs f32; "
                         "train-mode BN stats stay f32)")
+    p.add_argument("--crn_mode", default=None,
+                   choices=["legacy", "phase", "split", "packed"],
+                   help="CRN stage-conv formulation; 'split' avoids "
+                        "materializing the per-stage concat (exact up to "
+                        "sum reassociation — the serving default); "
+                        "'legacy' (default) keeps the reference-shaped "
+                        "composition")
     p.add_argument("--log_jsonl", default=True, type=bool_flag,
                    help="append scalar records to <output_dir>/log.jsonl "
                         "(one JSON object per print/eval event — a "

@@ -32,7 +32,8 @@ class InferenceEngine:
     """Holds a generator + converted variables and serves generation calls."""
 
     def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8,
-                 mesh=None, compute_dtype=None, dense_precision=None):
+                 mesh=None, compute_dtype=None, dense_precision=None,
+                 crn_mode=None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         generation batches shard over it (params replicated), scaling
         serving throughput across chips.
@@ -44,13 +45,20 @@ class InferenceEngine:
 
         ``dense_precision``: e.g. ``'high'`` (3-pass bf16, ~f32-accurate)
         for the GCN/head Dense layers — a serving speed knob; ``None``
-        (default) keeps the parity-grade HIGHEST."""
+        (default) keeps the parity-grade HIGHEST.
+
+        ``crn_mode``: e.g. ``'split'`` (per-branch CRN stage conv0, the
+        wide concat tensor never materialized — +5% e2e, exact up to sum
+        reassociation); ``None`` (default) keeps the reference-shaped
+        'legacy' composition."""
         self.vocab = vocab
         self.model_kwargs = dict(model_kwargs)
         if compute_dtype is not None:
             self.model_kwargs["compute_dtype"] = compute_dtype
         if dense_precision is not None:
             self.model_kwargs["dense_precision"] = dense_precision
+        if crn_mode is not None:
+            self.model_kwargs["crn_mode"] = crn_mode
         self.model = Sg2ImGenerator(vocab=vocab, **self.model_kwargs)
         self.mesh = mesh
         if mesh is not None:

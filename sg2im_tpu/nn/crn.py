@@ -160,6 +160,13 @@ class FusedUpsampleConv(nn.Module):
         legacy (tests pin this); it is the formulation the Pallas CRN
         stage kernel implements, where the interleave is free in-VMEM
         indexing.
+      'split' — conv(layout, Wl) + conv(up, Wf): the channel contraction
+        distributes over the input-channel concat, so the
+        (layout_dim+feats_dim)-channel concat tensor (the stage's widest
+        HBM tensor, e.g. 288 ch at 128x128 for vg128 s5) is never
+        materialized.  Exact up to sum reassociation (~1e-6 relative;
+        tests pin vs legacy).  Equal-resolution stages (no upsample)
+        keep the plain concat+conv — their concat is tiny.
     """
 
     layout_dim: int
@@ -191,6 +198,13 @@ class FusedUpsampleConv(nn.Module):
             up = upsample_nearest(feats, 2)
             x = jnp.concatenate([layout, up], axis=-1)
             return _conv(x, k, [(1, 1), (1, 1)]) + bias.astype(dt)
+
+        if self.mode == "split":
+            up = upsample_nearest(feats, 2)
+            out = _conv(layout, k[:, :, :self.layout_dim],
+                        [(1, 1), (1, 1)])
+            out += _conv(up, k[:, :, self.layout_dim:], [(1, 1), (1, 1)])
+            return out + bias.astype(dt)
 
         wl = k[:, :, :self.layout_dim]
         out = _conv(layout, wl, [(1, 1), (1, 1)])
@@ -427,7 +441,8 @@ class RefinementNetwork(nn.Module):
     normalization: str = "instance"
     activation: str = "leakyrelu"
     compute_dtype: object = None
-    conv0_mode: str = "legacy"  # 'legacy' | 'phase' (see FusedUpsampleConv)
+    conv0_mode: str = "legacy"  # 'legacy' | 'phase' | 'split' (see
+    #                             FusedUpsampleConv)
     #                             | 'packed' (space-to-depth stages)
     packed_min_res: int = 32    # 'packed' applies to stages with output
     #                             resolution >= this (low-res stages have
@@ -500,7 +515,8 @@ class RefinementNetwork(nn.Module):
                     activation=self.activation,
                     compute_dtype=self.compute_dtype,
                     conv0_mode=(self.conv0_mode if self.conv0_mode
-                                in ("legacy", "phase") else "legacy"),
+                                in ("legacy", "phase", "split")
+                                else "legacy"),
                     name=f"refinement_modules_{i - 1}",
                 )(level, feats, train=train)
 

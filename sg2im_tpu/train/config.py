@@ -103,6 +103,9 @@ class TrainConfig:
     seed: int = 0
     data_parallel: int = 1     # mesh size along the 'data' axis
     bf16_compute: bool = False # mixed-precision conv/matmul compute
+    crn_mode: str = "legacy"   # CRN stage-conv formulation ('legacy' |
+    #   'phase' | 'split' | 'packed'); 'split' skips materializing the
+    #   per-stage concat — exact up to sum reassociation (see nn/crn.py)
     log_jsonl: bool = True     # stream scalars to <output_dir>/log.jsonl
 
     @property
@@ -122,6 +125,8 @@ class TrainConfig:
             import jax.numpy as jnp
 
             extra["compute_dtype"] = jnp.bfloat16
+        if self.crn_mode != "legacy":
+            extra["crn_mode"] = self.crn_mode
         return dict(
             **extra,
             image_size=tuple(self.image_size),

@@ -370,6 +370,47 @@ def test_fused_upsample_conv_phase_equals_legacy():
                                    atol=2e-5 * max(scale, 1.0), rtol=0)
 
 
+def test_fused_upsample_conv_split_equals_legacy():
+    """'split' conv0 (per-branch convs summed, concat never materialized)
+    must match legacy on the same params (channel contraction distributes;
+    sums merely reassociate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.nn.crn import FusedUpsampleConv
+
+    rng = np.random.RandomState(0)
+    for (R, cl, cf, co) in [(4, 5, 3, 7), (8, 160, 128, 64), (3, 2, 1, 4)]:
+        layout = jnp.asarray(rng.randn(2, 2 * R, 2 * R, cl), jnp.float32)
+        feats = jnp.asarray(rng.randn(2, R, R, cf), jnp.float32)
+        legacy = FusedUpsampleConv(cl, cf, co, mode="legacy")
+        split = FusedUpsampleConv(cl, cf, co, mode="split")
+        variables = legacy.init(jax.random.PRNGKey(0), layout, feats)
+        a = legacy.apply(variables, layout, feats)
+        b = split.apply(variables, layout, feats)
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5 * max(scale, 1.0), rtol=0)
+
+
+def test_refinement_network_split_mode_matches_legacy():
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.nn.crn import RefinementNetwork
+
+    rng = np.random.RandomState(1)
+    layout = jnp.asarray(rng.randn(2, 16, 16, 6), jnp.float32)
+    legacy = RefinementNetwork(dims=(6, 10, 8), normalization="batch")
+    split = RefinementNetwork(dims=(6, 10, 8), normalization="batch",
+                              conv0_mode="split")
+    variables = legacy.init(jax.random.PRNGKey(0), layout)
+    a = legacy.apply(variables, layout)
+    b = split.apply(variables, layout)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=0)
+
+
 def test_refinement_network_phase_mode_matches_legacy():
     import jax
     import jax.numpy as jnp
