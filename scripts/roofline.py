@@ -243,6 +243,16 @@ def main():
         add("layout_compose", *measure("layout", layout_fn,
                                        (obj_vecs, boxes, masks16)))
 
+        def layout_fn_serving(v, b, m):
+            # serving mode: (N,O,H,W) warp intermediate stored bf16
+            # (tent weights f32, f32 accumulation — ops/layout.py)
+            return masks_to_layout(v, b, m, obj_mask, HW, HW,
+                                   compute_dtype=bf16)
+
+        add("layout_compose_bf16", *measure("layout_bf16",
+                                            layout_fn_serving,
+                                            (obj_vecs, boxes, masks16)))
+
     # -- noise gen + concat --------------------------------------------
     if "noise" in pick:
         layout = jnp.asarray(rng.randn(N, HW, HW, D), jnp.float32)
@@ -253,6 +263,17 @@ def main():
 
         add("noise+concat", *measure("noise", noise_fn,
                                      (jax.random.PRNGKey(0), layout)))
+
+        def noise_fn_serving(key, lay):
+            # serving mode: the layout arrives already bf16 (cast fused
+            # into the compose epilogue, models/sg2im.py) and the concat
+            # writes/reads the widest pre-CRN tensor half-width.
+            nz = jax.random.normal(key, (N, HW, HW, ND), jnp.float32)
+            return jnp.concatenate([lay, nz.astype(lay.dtype)], -1)
+
+        add("noise+concat_bf16", *measure(
+            "noise_bf16", noise_fn_serving,
+            (jax.random.PRNGKey(0), layout.astype(bf16))))
 
     # -- whole CRN (real module, bf16 chain, eval mode) -----------------
     if "crn" in pick:
