@@ -51,6 +51,12 @@ def build_parser():
                              "e2e, exact up to sum reassociation — the "
                              "serving mode bench.py measures) vs the "
                              "default reference-shaped 'legacy'")
+    parser.add_argument("--deprocess_device", type=int, default=0,
+                        help="fold deprocess (denorm + rescale + uint8) "
+                             "into the serving program: 4x less "
+                             "device->host traffic per request (default "
+                             "0 = host deprocess, bit-exact reference "
+                             "path)")
     return parser
 
 
@@ -75,7 +81,8 @@ def main(args=None):
         args.checkpoint, compute_dtype=compute_dtype,
         dense_precision=(None if args.dense_precision == "highest"
                          else args.dense_precision),
-        crn_mode=(None if args.crn_mode == "legacy" else args.crn_mode))
+        crn_mode=(None if args.crn_mode == "legacy" else args.crn_mode),
+        deprocess_on_device=bool(args.deprocess_device))
 
     with open(args.scene_graphs_json) as f:
         scene_graphs = json.load(f)

@@ -48,6 +48,25 @@ def imagenet_deprocess_batch(imgs, rescale: bool = True):
     return np.clip(x * 255.0, 0, 255).astype(np.uint8)
 
 
+def imagenet_deprocess_batch_jnp(imgs, rescale: bool = True):
+    """jnp formulation of :func:`imagenet_deprocess_batch` for running the
+    deprocess INSIDE the serving program (on-device): (N, H, W, 3) float
+    -> (N, H, W, 3) uint8.  Same math as the host path (denormalize,
+    per-image min-max rescale over all channels, clip*255, truncating
+    uint8 cast); transferring uint8 instead of f32 cuts device->host
+    traffic 4x and moves the per-image min/max reductions onto the chip.
+    """
+    import jax.numpy as jnp
+
+    x = imgs.astype(jnp.float32) * jnp.asarray(IMAGENET_STD) \
+        + jnp.asarray(IMAGENET_MEAN)
+    if rescale:
+        lo = x.reshape(x.shape[0], -1).min(axis=1)[:, None, None, None]
+        hi = x.reshape(x.shape[0], -1).max(axis=1)[:, None, None, None]
+        x = (x - lo) / (hi - lo)
+    return jnp.clip(x * 255.0, 0, 255).astype(jnp.uint8)
+
+
 def resize_image(pil_img, size, interp=None):
     """PIL bilinear resize matching reference ``Resize``
     (``data/utils.py:70-80``); ``size`` is (H, W)."""

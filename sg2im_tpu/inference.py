@@ -33,7 +33,7 @@ class InferenceEngine:
 
     def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8,
                  mesh=None, compute_dtype=None, dense_precision=None,
-                 crn_mode=None):
+                 crn_mode=None, deprocess_on_device: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         generation batches shard over it (params replicated), scaling
         serving throughput across chips.
@@ -50,7 +50,13 @@ class InferenceEngine:
         ``crn_mode``: e.g. ``'split'`` (per-branch CRN stage conv0, the
         wide concat tensor never materialized — +5% e2e, exact up to sum
         reassociation); ``None`` (default) keeps the reference-shaped
-        'legacy' composition."""
+        'legacy' composition.
+
+        ``deprocess_on_device``: fold the imagenet-deprocess (denorm +
+        per-image min-max rescale + uint8) into the serving program, so
+        :meth:`generate` fetches uint8 instead of f32 — 4x less
+        device->host traffic per request and the reductions run on-chip.
+        Default off (host deprocess, bit-exact reference path)."""
         self.vocab = vocab
         self.model_kwargs = dict(model_kwargs)
         if compute_dtype is not None:
@@ -68,6 +74,7 @@ class InferenceEngine:
                 jax.tree.map(jnp.asarray, variables), mesh)
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.pad_align = pad_align
+        self.deprocess_on_device = bool(deprocess_on_device)
 
     # -- construction ------------------------------------------------------
 
@@ -91,11 +98,19 @@ class InferenceEngine:
     def _fwd(self):
         """One jitted forward; jax.jit caches compilations per input shape."""
 
+        emit_u8 = self.deprocess_on_device
+
         def fwd(variables, objs, triples, obj_mask, triple_mask, noise):
-            return self.model.apply(
+            out = self.model.apply(
                 variables, objs, triples, obj_mask, triple_mask,
                 train=False, layout_noise=noise,
             )
+            if emit_u8:
+                from sg2im_tpu.data.transforms import (
+                    imagenet_deprocess_batch_jnp)
+
+                return out + (imagenet_deprocess_batch_jnp(out[0]),)
+            return out
 
         return jax.jit(fwd)
 
@@ -138,11 +153,13 @@ class InferenceEngine:
             arrays = tuple(jax.device_put(a, sh) for a in arrays)
             if noise_arr is not None:
                 noise_arr = jax.device_put(noise_arr, sh)
-        imgs, boxes, masks, rel_scores = self._fwd(
-            self.variables, *arrays, noise_arr,
-        )
-        return {"imgs": imgs, "boxes": boxes, "masks": masks,
-                "rel_scores": rel_scores}
+        out = self._fwd(self.variables, *arrays, noise_arr)
+        imgs, boxes, masks, rel_scores = out[:4]
+        result = {"imgs": imgs, "boxes": boxes, "masks": masks,
+                  "rel_scores": rel_scores}
+        if self.deprocess_on_device:
+            result["imgs_u8"] = out[4]
+        return result
 
     def warmup(self, batch_sizes=(1,), scene_graph=None, seed: int = 0):
         """Precompile the serving program for the given graph-count
@@ -201,7 +218,11 @@ class InferenceEngine:
             )
         out = self.generate_batch(batch, noise=noise, seed=seed)
         out = {k: (None if v is None else v[:n_real]) for k, v in out.items()}
-        imgs = np.asarray(out["imgs"])
-        if deprocess:
-            imgs = imagenet_deprocess_batch(imgs)
+        if deprocess and "imgs_u8" in out:
+            # on-device deprocess: fetch the uint8 result, not the f32 one
+            imgs = np.asarray(out["imgs_u8"])
+        else:
+            imgs = np.asarray(out["imgs"])
+            if deprocess:
+                imgs = imagenet_deprocess_batch(imgs)
         return imgs, out

@@ -206,6 +206,56 @@ def test_engine_sharded_generation(tmp_path, torch04_semantics):
                                atol=1)
 
 
+def test_engine_deprocess_on_device(tmp_path, torch04_semantics):
+    """deprocess_on_device folds denorm + per-image rescale + uint8 into
+    the serving program; the fetched uint8 matches the host deprocess
+    path to <=1 (XLA may fuse the denorm multiply-add; everything else
+    is identical f32 math) and padding rows don't perturb the per-image
+    min/max rescale."""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    host = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    dev = InferenceEngine.from_torch_checkpoint(
+        ckpt_path, deprocess_on_device=True)
+
+    want, _ = host.generate(SCENE_GRAPHS, noise="zeros")
+    got, out = dev.generate(SCENE_GRAPHS, noise="zeros")
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    assert "imgs_u8" in out
+    np.testing.assert_allclose(got.astype(np.int32), want.astype(np.int32),
+                               atol=1)
+    # bucket padding: a single graph (padded batch) rescales per image
+    got1, _ = dev.generate(SCENE_GRAPHS[0], noise="zeros")
+    np.testing.assert_allclose(got1[0].astype(np.int32),
+                               got[0].astype(np.int32), atol=1)
+    # deprocess=False still returns the raw float path
+    raw, _ = dev.generate(SCENE_GRAPHS, noise="zeros", deprocess=False)
+    assert raw.dtype != np.uint8
+
+
+def test_run_model_cli_deprocess_device(tmp_path, torch04_semantics):
+    """--deprocess_device writes PNGs matching the host-deprocess run."""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    sg_path = os.path.join(tmp_path, "sg.json")
+    with open(sg_path, "w") as f:
+        json.dump(SCENE_GRAPHS, f)
+
+    from PIL import Image
+
+    from sg2im_tpu.cli.run_model import main
+
+    out_host = os.path.join(tmp_path, "out_host")
+    out_dev = os.path.join(tmp_path, "out_dev")
+    assert main(["--checkpoint", ckpt_path, "--scene_graphs_json", sg_path,
+                 "--output_dir", out_host, "--noise", "zeros"]) == 0
+    assert main(["--checkpoint", ckpt_path, "--scene_graphs_json", sg_path,
+                 "--output_dir", out_dev, "--noise", "zeros",
+                 "--deprocess_device", "1"]) == 0
+    a = np.asarray(Image.open(os.path.join(out_host, "img000000.png")))
+    b = np.asarray(Image.open(os.path.join(out_dev, "img000000.png")))
+    np.testing.assert_allclose(b.astype(np.int32), a.astype(np.int32),
+                               atol=1)
+
+
 def test_verify_pretrained_cli(tmp_path, capsys):
     """One-shot north-star gate: .pt + scene graphs -> PSNR vs the
     reference model run in-process; >40 dB on the synthetic checkpoint.
