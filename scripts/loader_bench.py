@@ -1,12 +1,17 @@
-"""Loader benchmark: decoded-sample cache vs raw JPEG/RLE decode.
+"""Loader benchmark: decode backends and decoded-sample cache vs raw.
 
 Measures, on the synthetic disk-backed COCO dataset (train_proof.py):
-  1. single-thread RAW decode ms/image (the 2.10 ms/image TRAIN_PROOF
-     baseline: JPEG + per-object RLE + PIL mask resize + triples),
+  1. single-thread RAW decode ms/image per backend (pil / native /
+     native_fast — see data/decode.py; the 2.10 ms/image TRAIN_PROOF
+     baseline is the pil number at --src_hw 64),
   2. single-thread CACHED read ms/image (memmap slice + triple synthesis),
   3. PaddedLoader throughput at ONE worker from the cache,
 and compares against the device step rate (~1810 img/s for COCO-64 b32) —
 the ``--cache_dir`` acceptance bar: one worker must feed the step rate.
+
+``--src_hw 480`` builds production-sized source JPEGs (COCO images are
+~640x480; the decode cost scales with SOURCE pixels, so the 64px default
+understates what the native backends save on real data).
 
 Usage: python scripts/loader_bench.py [--images 2048] [--out /tmp/loaderbench]
 """
@@ -43,12 +48,16 @@ def main():
     ap.add_argument("--out", default="/tmp/loaderbench")
     ap.add_argument("--step_rate", type=float, default=1810.0,
                     help="device img/s to compare against (COCO-64 b32)")
+    ap.add_argument("--src_hw", type=int, default=64,
+                    help="source JPEG side (480 ~ production COCO)")
     args = ap.parse_args()
 
+    args.out = os.path.join(args.out, f"src{args.src_hw}")
     os.makedirs(args.out, exist_ok=True)
     if not os.path.exists(os.path.join(args.out, "instances.json")):
-        print(f"building {args.images}-image disk dataset ...")
-        build_dataset(args.out, n_images=args.images)
+        print(f"building {args.images}-image disk dataset "
+              f"(src {args.src_hw}px) ...")
+        build_dataset(args.out, n_images=args.images, hw=args.src_hw)
     img_dir = os.path.join(args.out, "images")
     inst = os.path.join(args.out, "instances.json")
     stuff = os.path.join(args.out, "stuff.json")
@@ -58,12 +67,21 @@ def main():
 
     kwargs = dict(image_dir=img_dir, instances_json=inst, stuff_json=stuff,
                   image_size=(64, 64), mask_size=16, seed=0)
-    raw_ds = CocoSceneGraphDataset(**kwargs)
-    n = len(raw_ds)
+    from sg2im_tpu.data.decode import resolve_decoder
 
-    raw_ips, raw_ms = rate(raw_ds.__getitem__, n)
-    print(f"raw decode     (1 thread): {raw_ms:6.3f} ms/img "
-          f"= {raw_ips:7.0f} img/s")
+    raw_ms = None
+    for dec in ("pil", "native", "native_fast"):
+        if dec != "pil" and resolve_decoder(dec) == "pil":
+            print(f"raw decode [{dec}]: native decoder unavailable, skipped")
+            continue
+        ds = CocoSceneGraphDataset(decoder=dec, **kwargs)
+        ips, ms = rate(ds.__getitem__, len(ds))
+        rel = f"  ({raw_ms / ms:.2f}x pil)" if raw_ms else ""
+        print(f"raw decode [{dec:11s}] (1 thread): {ms:6.3f} ms/img "
+              f"= {ips:7.0f} img/s{rel}")
+        if dec == "pil":
+            raw_ds, raw_ips, raw_ms = ds, ips, ms
+    n = len(raw_ds)
 
     t0 = time.perf_counter()
     cached_ds = CocoSceneGraphDataset(

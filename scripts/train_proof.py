@@ -61,8 +61,10 @@ def build_dataset(root: str, n_images: int, hw: int = 64, seed: int = 0):
         # 2-5 instance objects: colored axis-aligned boxes
         for j in range(rng.randint(2, 6)):
             cat = int(rng.randint(1, len(CATEGORY_COLORS) + 1))
-            w = int(rng.randint(10, 28))
-            h = int(rng.randint(10, 28))
+            # Sizes scale with the canvas so the 2% min-object-size
+            # filter keeps the same objects at any --src_hw.
+            w = int(rng.randint(10 * hw // 64, 28 * hw // 64))
+            h = int(rng.randint(10 * hw // 64, 28 * hw // 64))
             x = int(rng.randint(0, hw - w))
             y = int(rng.randint(0, hw - h))
             canvas[y:y + h, x:x + w] = CATEGORY_COLORS[cat]

@@ -41,6 +41,14 @@ def build_parser():
                         "loader worker feeds any step rate (beyond the "
                         "reference, which needs 4 decode workers)")
     p.add_argument("--include_relationships", default=True, type=bool_flag)
+    p.add_argument("--decoder", default="auto",
+                   choices=["auto", "pil", "native", "native_fast"],
+                   help="image decode backend (data/decode.py): 'native' "
+                        "is the C++ libjpeg/libpng + bit-exact-PIL-resize "
+                        "path (~1.5x PIL, GIL-free), 'native_fast' adds "
+                        "JPEG DCT prescaling (~3x, visually identical but "
+                        "not bit-equal), 'auto' = native when it builds "
+                        "and passes its bit-parity self-check")
     # VG
     p.add_argument("--vg_image_dir", default=d.vg_image_dir)
     p.add_argument("--train_h5", default=d.train_h5)
@@ -215,6 +223,7 @@ def build_datasets(config: TrainConfig):
             include_other=config.coco_include_other,
             include_relationships=config.include_relationships,
             seed=config.seed,  # reproducible for any loader_num_workers
+            decoder=config.decoder,
         )
         train = CocoSceneGraphDataset(
             image_dir=config.coco_train_image_dir,
@@ -240,7 +249,8 @@ def build_datasets(config: TrainConfig):
         max_objects=config.max_objects_per_image,
         use_orphaned_objects=config.vg_use_orphaned_objects,
         include_relationships=config.include_relationships,
-        seed=config.seed)  # reproducible for any loader_num_workers
+        seed=config.seed,  # reproducible for any loader_num_workers
+        decoder=config.decoder)
     train = VgSceneGraphDataset(h5_path=config.train_h5,
                                 max_samples=config.num_train_samples,
                                 cache_dir=cache_sub("train"), **common)

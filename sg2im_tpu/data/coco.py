@@ -31,7 +31,7 @@ import numpy as np
 
 from sg2im_tpu.data.rle import seg_to_mask
 from sg2im_tpu.data.seeding import per_sample_rng
-from sg2im_tpu.data.transforms import imagenet_preprocess, resize_image
+from sg2im_tpu.data.transforms import imagenet_preprocess
 
 COCO_PRED_NAMES = [
     "__in_image__", "left of", "right of", "above", "below", "inside",
@@ -46,7 +46,8 @@ class CocoSceneGraphDataset:
                  include_relationships=True, min_object_size=0.02,
                  min_objects_per_image=3, max_objects_per_image=8,
                  include_other=False, instance_whitelist=None,
-                 stuff_whitelist=None, seed=None, cache_dir=None):
+                 stuff_whitelist=None, seed=None, cache_dir=None,
+                 decoder="auto"):
         self.image_dir = image_dir
         self.mask_size = mask_size
         self.max_samples = max_samples
@@ -54,6 +55,7 @@ class CocoSceneGraphDataset:
         self.include_relationships = include_relationships
         self.image_size = tuple(image_size)
         self.seed = seed
+        self.decoder = decoder  # see sg2im_tpu.data.decode backends
         self._epoch = 0
 
         with open(instances_json) as f:
@@ -177,6 +179,14 @@ class CocoSceneGraphDataset:
                   },
                   "ids": [int(self.image_ids[0]), int(self.image_ids[-1])]
                   if n else []}
+            # Only the DCT-prescale decoder changes the cached BYTES
+            # (pil / native / auto are bit-identical by self-check), so
+            # only it joins the fingerprint — switching between the
+            # exact backends keeps existing caches valid.
+            from sg2im_tpu.data.decode import resolve_decoder
+
+            if resolve_decoder(decoder) == "native_fast":
+                fp["decoder"] = "native_fast"
             cache = DecodedCache(cache_dir, fp)
             if not cache.ready:
                 print(f"building decoded-sample cache for {n} samples "
@@ -206,16 +216,11 @@ class CocoSceneGraphDataset:
         self._epoch = int(epoch)
 
     def _load_image_u8(self, image_id):
-        from PIL import Image
+        from sg2im_tpu.data.decode import load_image_u8
 
         path = os.path.join(self.image_dir,
                             self.image_id_to_filename[image_id])
-        with open(path, "rb") as f:
-            with Image.open(f) as image:
-                WW, HH = image.size
-                img = resize_image(image.convert("RGB"), self.image_size)
-                arr = np.asarray(img, np.uint8)
-        return arr, WW, HH
+        return load_image_u8(path, self.image_size, self.decoder)
 
     def _decode_invariant(self, index):
         """The epoch-invariant (cacheable) part of a sample: resized uint8
@@ -225,7 +230,7 @@ class CocoSceneGraphDataset:
         image_id = self.image_ids[index]
         image_u8, WW, HH = self._load_image_u8(image_id)
 
-        from PIL import Image
+        from sg2im_tpu.data.decode import resize_u8
 
         M = self.mask_size
         objs, boxes, masks = [], [], []
@@ -243,8 +248,8 @@ class CocoSceneGraphDataset:
             mask = mask[my0:my1, mx0:mx1]
             if mask.size == 0:
                 mask = np.zeros((1, 1), np.uint8)
-            mimg = Image.fromarray(mask * 255).resize((M, M), Image.BILINEAR)
-            masks.append((np.asarray(mimg, np.float32) > 128).astype(np.int64))
+            mimg = resize_u8(mask * 255, (M, M), self.decoder)
+            masks.append((mimg.astype(np.float32) > 128).astype(np.int64))
 
         objs.append(0)  # __image__
         boxes.append([0.0, 0.0, 1.0, 1.0])

@@ -19,14 +19,14 @@ import os
 import numpy as np
 
 from sg2im_tpu.data.seeding import per_sample_rng
-from sg2im_tpu.data.transforms import imagenet_preprocess, resize_image
+from sg2im_tpu.data.transforms import imagenet_preprocess
 
 
 class VgSceneGraphDataset:
     def __init__(self, vocab, h5_path, image_dir, image_size=(256, 256),
                  normalize_images=True, max_objects=10, max_samples=None,
                  include_relationships=True, use_orphaned_objects=True,
-                 seed=None, cache_dir=None):
+                 seed=None, cache_dir=None, decoder="auto"):
         self.image_dir = image_dir
         self.image_size = tuple(image_size)
         self.vocab = vocab
@@ -37,6 +37,7 @@ class VgSceneGraphDataset:
         self.include_relationships = include_relationships
         self.normalize_images = normalize_images
         self.seed = seed
+        self.decoder = decoder  # see sg2im_tpu.data.decode backends
         self._epoch = 0
 
         import h5py
@@ -70,6 +71,13 @@ class VgSceneGraphDataset:
                   "image_size": list(self.image_size),
                   "image_dir": os.path.abspath(image_dir),
                   "h5": file_sig(h5_path)}
+            # Fingerprint the decoder only when it changes the cached
+            # bytes (the DCT-prescale fast mode; pil/native/auto are
+            # bit-identical — see data/decode.py).
+            from sg2im_tpu.data.decode import resolve_decoder
+
+            if resolve_decoder(decoder) == "native_fast":
+                fp["decoder"] = "native_fast"
             cache = DecodedCache(cache_dir, fp)
             if not cache.ready:
                 print(f"building decoded-image cache for {n} samples "
@@ -78,14 +86,11 @@ class VgSceneGraphDataset:
             self._cache = cache
 
     def _decode_invariant(self, index):
-        from PIL import Image
+        from sg2im_tpu.data.decode import load_image_u8
 
         img_path = os.path.join(self.image_dir, self.image_paths[index])
-        with open(img_path, "rb") as f:
-            with Image.open(f) as image:
-                WW, HH = image.size
-                img = resize_image(image.convert("RGB"), self.image_size)
-        return {"image": np.asarray(img, np.uint8), "size": (WW, HH)}
+        arr, WW, HH = load_image_u8(img_path, self.image_size, self.decoder)
+        return {"image": arr, "size": (WW, HH)}
 
     def __len__(self):
         num = self.data["object_names"].shape[0]

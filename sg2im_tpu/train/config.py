@@ -26,6 +26,7 @@ class TrainConfig:
     shuffle_val: bool = True
     loader_num_workers: int = 4
     cache_dir: str | None = None  # decoded-sample memmap cache (new here)
+    decoder: str = "auto"  # image decode backend (data/decode.py; new here)
     include_relationships: bool = True
 
     # VG (train.py:67-73)

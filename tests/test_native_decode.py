@@ -1,0 +1,199 @@
+"""Native C++ image decode + resize (native/imagedec.cpp).
+
+The exact backend's contract is BIT-IDENTICAL output to the loaders'
+PIL path (decode -> convert("RGB") -> BILINEAR resize — reference
+``sg2im/data/coco.py:232-245``, ``vg.py:105-112``); the fast backend
+(JPEG DCT-domain prescaling) only promises visual equivalence.  All
+tests skip when no compiler / libjpeg is present (the loaders then run
+their PIL fallback, covered by the existing data tests).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from sg2im_tpu.native import imagedec
+
+pytestmark = pytest.mark.skipif(
+    not imagedec.available(),
+    reason="native image decoder unavailable (no compiler or libjpeg/png)")
+
+
+def _pil_want(data: bytes, size):
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(
+            im.convert("RGB").resize((size[1], size[0]), Image.BILINEAR),
+            np.uint8)
+
+
+def _encode(arr, fmt, mode=None, **kw):
+    from PIL import Image
+
+    im = Image.fromarray(arr) if mode is None else \
+        Image.fromarray(arr, mode)
+    buf = io.BytesIO()
+    im.save(buf, format=fmt, **kw)
+    return buf.getvalue()
+
+
+def _natural(h, w, seed=0):
+    """Smooth structured content (JPEG-friendly, resize-sensitive)."""
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = np.stack([(x * 2) % 256, (y * 3) % 256, (x + y) % 256], -1)
+    return np.clip(base + rng.randint(-8, 8, base.shape), 0,
+                   255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("fmt,kw", [
+    ("JPEG", {"quality": 90}),
+    ("JPEG", {"quality": 60}),
+    ("JPEG", {"progressive": True, "quality": 85}),
+    ("PNG", {}),
+])
+@pytest.mark.parametrize("size", [(64, 64), (128, 128), (48, 96)])
+def test_exact_backend_matches_pil(fmt, kw, size):
+    data = _encode(_natural(200, 300), fmt, **kw)
+    img, ow, oh = imagedec.decode_resize(data, size)
+    assert (ow, oh) == (300, 200)
+    assert img.shape == (size[0], size[1], 3)
+    np.testing.assert_array_equal(img, _pil_want(data, size))
+
+
+def test_exact_backend_exotic_modes():
+    arr = _natural(120, 150, seed=1)
+    cases = [
+        _encode(arr[:, :, 0], "PNG", mode="L"),            # grayscale PNG
+        _encode(arr[:, :, 0], "JPEG", mode="L"),           # grayscale JPEG
+        _encode(np.dstack([arr, arr[:, :, :1]]), "PNG",
+                mode="RGBA"),                              # alpha dropped
+    ]
+    from PIL import Image
+
+    cases.append(_encode(np.asarray(
+        Image.fromarray(arr).convert("P")), "PNG", mode="P"))  # palette
+    for data in cases:
+        img, _, _ = imagedec.decode_resize(data, (64, 64))
+        np.testing.assert_array_equal(img, _pil_want(data, (64, 64)))
+
+
+def test_upscale_and_identity_match_pil():
+    arr = _natural(40, 50, seed=2)
+    data = _encode(arr, "PNG")
+    img, _, _ = imagedec.decode_resize(data, (64, 64))   # upscale
+    np.testing.assert_array_equal(img, _pil_want(data, (64, 64)))
+    img, _, _ = imagedec.decode_resize(data, (40, 50))   # identity
+    np.testing.assert_array_equal(img, _pil_want(data, (40, 50)))
+
+
+def test_cmyk_jpeg_falls_back():
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(_natural(100, 100)).convert("CMYK").save(
+        buf, format="JPEG")
+    assert imagedec.decode_resize(buf.getvalue(), (64, 64)) is None
+
+
+def test_corrupt_data_returns_none():
+    assert imagedec.decode_resize(b"not an image", (64, 64)) is None
+    # Truncated JPEG: header ok, body missing.
+    data = _encode(_natural(100, 100), "JPEG")
+    assert imagedec.decode_resize(data[:40], (64, 64)) is None
+
+
+def test_probe():
+    jd = _encode(_natural(80, 120), "JPEG")
+    pd = _encode(_natural(80, 120), "PNG")
+    assert imagedec.probe(jd) == ("jpeg", 120, 80)
+    assert imagedec.probe(pd) == ("png", 120, 80)
+    assert imagedec.probe(b"junk")[0] is None
+
+
+def test_fast_mode_visually_equivalent():
+    data = _encode(_natural(480, 640), "JPEG", quality=90)
+    want = _pil_want(data, (64, 64)).astype(np.float32)
+    img, _, _ = imagedec.decode_resize(data, (64, 64), fast=True)
+    mse = float(((img.astype(np.float32) - want) ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 30.0, f"fast-mode PSNR vs PIL only {psnr:.1f} dB"
+
+
+def test_batch_matches_single_and_reports_failures():
+    datas = [_encode(_natural(100 + 7 * i, 140 + 5 * i, seed=i), "JPEG")
+             for i in range(5)]
+    datas.insert(2, b"corrupt")
+    out = imagedec.decode_resize_batch(datas, (64, 64), n_threads=4)
+    imgs, orig_wh, ok = out
+    assert ok.tolist() == [True, True, False, True, True, True]
+    assert (imgs[2] == 0).all()
+    for i, data in enumerate(datas):
+        if not ok[i]:
+            continue
+        single, ow, oh = imagedec.decode_resize(data, (64, 64))
+        np.testing.assert_array_equal(imgs[i], single)
+        assert orig_wh[i].tolist() == [ow, oh]
+
+
+def test_resize_u8_matches_pil_mask_path():
+    """The COCO per-object mask resize (mask*255 -> MxM -> threshold)
+    must be bit-identical between PIL and the native resampler."""
+    from PIL import Image
+
+    from sg2im_tpu.data.decode import resize_u8
+
+    rng = np.random.RandomState(0)
+    for hw in [(1, 1), (7, 13), (30, 14), (200, 480)]:
+        mask = (rng.rand(*hw) > 0.5).astype(np.uint8)
+        want = np.asarray(Image.fromarray(mask * 255).resize(
+            (16, 16), Image.BILINEAR), np.uint8)
+        got = resize_u8(mask * 255, (16, 16), "native")
+        np.testing.assert_array_equal(got, want)
+    # 3-channel variant too (general API surface)
+    rgb = rng.randint(0, 256, (50, 70, 3), dtype=np.uint8)
+    want = np.asarray(
+        Image.fromarray(rgb).resize((24, 32), Image.BILINEAR), np.uint8)
+    got = resize_u8(rgb, (32, 24), "native")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_load_image_u8_backends_agree(tmp_path):
+    from sg2im_tpu.data.decode import load_image_u8, resolve_decoder
+
+    path = os.path.join(tmp_path, "x.jpg")
+    with open(path, "wb") as f:
+        f.write(_encode(_natural(180, 240, seed=3), "JPEG"))
+    a = load_image_u8(path, (64, 64), "pil")
+    b = load_image_u8(path, (64, 64), "native")
+    c = load_image_u8(path, (64, 64), "auto")
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[0], c[0])
+    assert a[1:] == b[1:] == c[1:] == (240, 180)
+    assert resolve_decoder("auto") == "native"
+    assert resolve_decoder("pil") == "pil"
+    with pytest.raises(ValueError):
+        resolve_decoder("nonsense")
+
+
+def test_coco_dataset_native_equals_pil(tmp_path):
+    """End-to-end: the dataset's samples are byte-identical across
+    decode backends (the parity-test-pinning guarantee)."""
+    from tests.test_data import _fake_coco
+
+    from sg2im_tpu.data.coco import CocoSceneGraphDataset
+
+    img_dir, inst, stuff = _fake_coco(str(tmp_path))
+    kw = dict(image_dir=img_dir, instances_json=inst, stuff_json=stuff,
+              image_size=(32, 32), mask_size=8, seed=0)
+    ds_pil = CocoSceneGraphDataset(decoder="pil", **kw)
+    ds_nat = CocoSceneGraphDataset(decoder="native", **kw)
+    for i in range(len(ds_pil)):
+        a, b = ds_pil.getitem_at_epoch(i, 0), ds_nat.getitem_at_epoch(i, 0)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
