@@ -92,7 +92,7 @@ class DecodedCache:
         self._arrays = arrays
 
     def build(self, n: int, decode_fn, O_cap: int = 0,
-              progress_every: int = 2000):
+              progress_every: int = 2000, workers: int | None = None):
         """Decode all ``n`` samples once via ``decode_fn(i) -> dict`` and
         stream them into the memmap files (constant memory; real COCO is
         ~100k samples).  ``decode_fn`` returns image (H,W,3 u8 or f32 in
@@ -135,8 +135,42 @@ class DecodedCache:
                                   dtype=self.ARRAYS[name], mode="w+",
                                   shape=shape)
                   for name, shape in shapes.items()}
-        for i in range(n):
-            s = first if i == 0 else decode_fn(i)
+        # Decode in a thread pool (the heavy parts — libjpeg/libpng via
+        # ctypes, PIL, numpy — release the GIL; one-time build scales
+        # with host cores), write sequentially in index order here.
+        from concurrent.futures import ThreadPoolExecutor
+
+        if workers is None:
+            workers = min(16, os.cpu_count() or 1)
+
+        def records():
+            yield first
+            if n == 1:
+                return
+            if workers <= 1:
+                for i in range(1, n):
+                    yield decode_fn(i)
+                return
+            # Windowed submission (Executor.map would enqueue all n
+            # upfront; a slow writer would then buffer unbounded decoded
+            # samples).  In-flight is capped at 4x workers.
+            import collections
+
+            with ThreadPoolExecutor(workers) as ex:
+                pending = collections.deque()
+                idxs = iter(range(1, n))
+                for i in idxs:
+                    pending.append(ex.submit(decode_fn, i))
+                    if len(pending) >= workers * 4:
+                        break
+                while pending:
+                    rec = pending.popleft().result()
+                    nxt = next(idxs, None)
+                    if nxt is not None:
+                        pending.append(ex.submit(decode_fn, nxt))
+                    yield rec
+
+        for i, s in enumerate(records()):
             img = s["image"]
             if img.dtype != np.uint8:
                 img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)

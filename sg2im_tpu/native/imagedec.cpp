@@ -293,11 +293,18 @@ int decode_png(const uint8_t* buf, long len, std::vector<uint8_t>* pixels,
   png_set_read_fn(png, &st, png_read_cb);
   png_read_info(png, info);
 
+  if (png_get_bit_depth(png, info) == 16) {
+    // PIL opens 16-bit PNGs as mode "I" and its convert("RGB") CLIPS at
+    // 255 rather than taking the high byte — not reproducible with
+    // png_set_strip_16; punt to the PIL fallback.
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
   png_set_palette_to_rgb(png);
   png_set_expand_gray_1_2_4_to_8(png);
-  png_set_strip_16(png);
   png_set_strip_alpha(png);  // PIL convert("RGB") drops alpha too
   png_set_gray_to_rgb(png);
+  png_set_interlace_handling(png);  // Adam7 inputs decode correctly
   png_read_update_info(png, info);
 
   *w = (int)png_get_image_width(png, info);

@@ -92,6 +92,24 @@ def test_upscale_and_identity_match_pil():
     np.testing.assert_array_equal(img, _pil_want(data, (40, 50)))
 
 
+def test_png_interlaced_and_16bit():
+    from PIL import Image
+
+    arr = _natural(90, 110, seed=4)
+    # Adam7-interlaced PNG must still decode bit-identically.
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG", interlace=True)
+    data = buf.getvalue()
+    img, _, _ = imagedec.decode_resize(data, (64, 64))
+    np.testing.assert_array_equal(img, _pil_want(data, (64, 64)))
+    # 16-bit PNG: PIL's mode-"I" convert("RGB") clips at 255 (not a
+    # high-byte strip) — the native decoder must punt to the fallback.
+    buf = io.BytesIO()
+    Image.fromarray((arr[:, :, 0].astype(np.uint16) * 257)).save(
+        buf, format="PNG")
+    assert imagedec.decode_resize(buf.getvalue(), (64, 64)) is None
+
+
 def test_cmyk_jpeg_falls_back():
     from PIL import Image
 
