@@ -15,6 +15,9 @@ failure):
   "train_step_ms_b32" / "train_img_s_b32" / "train_vs_baseline_b32":
       the full jitted 3-optimizer GAN train step (COCO-64 default config)
       vs the CPU train-step baseline.
+  "train_step_ms_b32_fast" / "train_img_s_b32_fast": the same step under
+      the opt-in fast-training flags (--bf16_compute --crn_mode split;
+      stability proven in TRAIN_PROOF.md, sweep in PERF.json).
 
 ``vs_baseline`` compares against the PyTorch-CPU reference throughput
 measured in this container (BASELINE_MEASURED.json; methodology inside).
@@ -110,7 +113,7 @@ def flagship_setup(batch: int = 32):
     return fwd, args
 
 
-def train_step_setup(batch: int = 32):
+def train_step_setup(batch: int = 32, **cfg_extra):
     """Flagship COCO-64 GAN train step (same config as the CPU baseline)."""
     from sg2im_tpu.train.config import TrainConfig
     from sg2im_tpu.train.trainer import Trainer
@@ -122,7 +125,7 @@ def train_step_setup(batch: int = 32):
     }
     config = TrainConfig(dataset="coco", batch_size=batch,
                          image_size=(64, 64), pad_objects_to=16,
-                         pad_triples_to=24)
+                         pad_triples_to=24, **cfg_extra)
     trainer = Trainer(config, vocab)
     state = trainer.init_state(seed=0)
     rng = np.random.RandomState(0)
@@ -152,11 +155,11 @@ def _read_baseline(key: str, default: float) -> float:
     return default
 
 
-def _measure_train(batch: int, iters: int):
+def _measure_train(batch: int, iters: int, **cfg_extra):
     """(sec/step, images/sec, x-vs-CPU-baseline) for the jitted GAN step."""
     import jax
 
-    trainer, state, batch_d = train_step_setup(batch)
+    trainer, state, batch_d = train_step_setup(batch, **cfg_extra)
     # Stage the batch on device (training loops overlap this transfer via
     # data.loader.prefetch_to_device; the bench measures device step time).
     batch_d = {k: jax.device_put(v) for k, v in batch_d.items()}
@@ -332,6 +335,18 @@ def main():
             extras["train_vs_baseline_b32"] = round(tvs, 1)
         except Exception as e:  # pragma: no cover
             print(f"WARNING: train extra failed: {e!r}", file=sys.stderr)
+        try:
+            # Fast-training configuration (--bf16_compute --crn_mode
+            # split; both opt-in flags, stability proven TRAIN_PROOF.md):
+            # measured ~-20% step time vs the reference-numerics default
+            # above (PERF.json "train_step").
+            dt, tips, _ = _measure_train(32, iters, bf16_compute=True,
+                                         crn_mode="split")
+            extras["train_step_ms_b32_fast"] = round(dt * 1000, 2)
+            extras["train_img_s_b32_fast"] = round(tips, 1)
+        except Exception as e:  # pragma: no cover
+            print(f"WARNING: fast-train extra failed: {e!r}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "vg128_inference_throughput",

@@ -1,0 +1,146 @@
+"""Serving CLI (cli/serve.py): live HTTP round trips on a real socket.
+
+The server wraps InferenceEngine (itself parity-tested in
+test_inference.py); these tests pin the HTTP contract: warmup, healthz,
+generate round trips (png + npy), determinism of noise='zeros',
+request validation, and concurrent clients through the device lock.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.test_inference import _make_reference_checkpoint
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from sg2im_tpu.cli.serve import build_parser, serve_forever
+
+    tmp_path = tmp_path_factory.mktemp("serve")
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--port", "0", "--warmup", "1",
+         "--max_graphs", "4"])
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(args, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(timeout=120), "server failed to start"
+    httpd = ready.httpd
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+
+
+def _ref_semantics():
+    from sg2im_tpu.ckpt.torch_compat import torch04_semantics
+
+    return torch04_semantics()
+
+
+def _post(base, payload, path="/generate"):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+SG = {"objects": ["sheep", "grass"], "relationships": [[0, "by", 1]]}
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["image_size"] == [32, 32]
+
+
+def test_generate_png_roundtrip(server):
+    out = _post(server, {"scene_graphs": [SG], "noise": "zeros"})
+    assert len(out["images"]) == 1
+    from PIL import Image
+
+    png = base64.b64decode(out["images"][0])
+    img = np.asarray(Image.open(io.BytesIO(png)))
+    assert img.shape == tuple(out["shape"]) == (32, 32, 3)
+    boxes = np.asarray(out["boxes"])
+    assert boxes.shape[0] == 1 and boxes.shape[-1] == 4  # (1, O_pad, 4)
+    assert out["latency_ms"] > 0
+
+
+def test_generate_zeros_deterministic_npy(server):
+    a = _post(server, {"scene_graphs": [SG, SG], "noise": "zeros",
+                       "return": "npy"})
+    b = _post(server, {"scene_graphs": [SG, SG], "noise": "zeros",
+                       "return": "npy"})
+    assert a["images"] == b["images"]  # byte-identical
+    raw = base64.b64decode(a["images"][0])
+    img = np.frombuffer(raw, np.uint8).reshape(a["shape"])
+    assert img.shape == (32, 32, 3)
+    # both graphs identical -> identical renders
+    assert a["images"][0] == a["images"][1]
+
+
+def test_generate_seeded_noise_changes_output(server):
+    a = _post(server, {"scene_graphs": [SG], "seed": 1, "return": "npy"})
+    b = _post(server, {"scene_graphs": [SG], "seed": 2, "return": "npy"})
+    aa = _post(server, {"scene_graphs": [SG], "seed": 1, "return": "npy"})
+    assert a["images"] != b["images"]
+    assert a["images"] == aa["images"]
+
+
+def test_request_validation(server):
+    for bad in [
+        {},                                           # missing graphs
+        {"scene_graphs": []},                         # empty
+        {"scene_graphs": [SG] * 5},                   # > --max_graphs 4
+        {"scene_graphs": [SG], "noise": "sideways"},  # bad noise
+        {"scene_graphs": [SG], "return": "bmp"},      # bad format
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server, bad)
+        assert exc.value.code == 400
+        assert "error" in json.loads(exc.value.read())
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server, {"scene_graphs": [SG]}, path="/nope")
+    assert exc.value.code == 404
+
+
+def test_unknown_object_name_is_client_error_not_crash(server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server, {"scene_graphs": [
+            {"objects": ["not-in-vocab"], "relationships": []}]})
+    assert exc.value.code == 500
+    assert "error" in json.loads(exc.value.read())
+    # server still healthy afterwards
+    out = _post(server, {"scene_graphs": [SG], "noise": "zeros"})
+    assert len(out["images"]) == 1
+
+
+def test_concurrent_clients(server):
+    results, errs = [], []
+
+    def hit(seed):
+        try:
+            results.append(_post(server, {
+                "scene_graphs": [SG], "seed": seed, "return": "npy"}))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs and len(results) == 6
