@@ -24,53 +24,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 from sg2im_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
-
-def make_batch(batch, num_objs=179, num_preds=7, O=16, T=24, hw=64):
-    rng = np.random.RandomState(0)
-    N = batch
-    lo = rng.uniform(0, 0.5, (N, O, 2)).astype(np.float32)
-    return {
-        "imgs": rng.randn(N, hw, hw, 3).astype(np.float32),
-        "objs": rng.randint(1, num_objs, (N, O)).astype(np.int32),
-        "boxes": np.concatenate([lo, lo + 0.3], -1),
-        "triples": np.stack(
-            [rng.randint(0, 9, (N, T)), rng.randint(0, num_preds, (N, T)),
-             rng.randint(0, 9, (N, T))], -1).astype(np.int32),
-        "obj_mask": np.concatenate(
-            [np.ones((N, 9), np.float32), np.zeros((N, O - 9), np.float32)],
-            1),
-        "triple_mask": np.ones((N, T), np.float32),
-        "masks": (rng.rand(N, O, 16, 16) > 0.5).astype(np.float32),
-    }
-
-
-def build_trainer(batch, **cfg_extra):
-    from sg2im_tpu.train.config import TrainConfig
-    from sg2im_tpu.train.trainer import Trainer
-
-    num_objs, num_preds = 179, 7
-    vocab = {
-        "object_idx_to_name": [f"o{i}" for i in range(num_objs)],
-        "pred_idx_to_name": [f"p{i}" for i in range(num_preds)],
-    }
-    config = TrainConfig(dataset="coco", batch_size=batch,
-                         image_size=(64, 64), pad_objects_to=16,
-                         pad_triples_to=24, **cfg_extra)
-    trainer = Trainer(config, vocab)
-    state = trainer.init_state(seed=0)
-    return trainer, state
+# The flagship trainer/batch construction lives in bench.py so the
+# profile and the driver-captured bench numbers can never desynchronize.
+from bench import train_step_setup  # noqa: E402
 
 
 def time_step(trainer, state, batch_d, iters):
     import jax
 
-    batch_d = {k: jax.device_put(v) for k, v in batch_d.items()}
+    batch_d = {k: jax.device_put(v) for k, v in batch_d.items()}  # staged
     state, m = trainer.step(state, dict(batch_d))
     float(m["total_loss"])  # compile + real sync through the tunnel
     state, m = trainer.step(state, dict(batch_d))
@@ -89,9 +55,12 @@ def main():
 
     results = {}
 
-    # 1. Phase breakdown at the baseline config.
-    trainer, state = build_trainer(32)
-    bd = trainer.step_breakdown(state, make_batch(32))
+    # 1. Phase breakdown at the baseline config.  NOTE: each phase is
+    # timed with a single fenced call — through the axon tunnel these
+    # carry ~100 ms of round-trip latency each, so treat them as relative
+    # indications only; the looped variants below are the real numbers.
+    trainer, state, batch_d = train_step_setup(32)
+    bd = trainer.step_breakdown(state, batch_d)
     print("phase breakdown b32 f32-legacy (ms):",
           {k: round(v, 2) for k, v in bd.items()}, flush=True)
     results["phase_ms_b32"] = {k: round(v, 3) for k, v in bd.items()}
@@ -108,8 +77,8 @@ def main():
          {"bf16_compute": True, "crn_mode": "split"}),
     ]
     for name, batch, extra in variants:
-        trainer, state = build_trainer(batch, **extra)
-        dt = time_step(trainer, state, make_batch(batch), args.iters)
+        trainer, state, batch_d = train_step_setup(batch, **extra)
+        dt = time_step(trainer, state, batch_d, args.iters)
         ips = batch / dt
         results[name] = {"ms": round(dt * 1000, 2), "img_s": round(ips, 1)}
         print(f"{name:18s}: {dt * 1000:7.2f} ms/step = {ips:7.1f} img/s",

@@ -100,8 +100,24 @@ class _State:
         self.engine = engine
         self.max_graphs = max_graphs
         self.lock = threading.Lock()  # one TPU program in flight
+        self._stats_lock = threading.Lock()
         self.requests = 0
         self.images = 0
+        # Per-request seed stream for unpinned 'random' noise; starts at
+        # a process-random offset so restarts don't replay the stream.
+        import random
+
+        self._seed_iter = random.SystemRandom().randrange(1 << 31)
+
+    def next_seed(self) -> int:
+        with self._stats_lock:
+            self._seed_iter = (self._seed_iter + 1) % (1 << 31)
+            return self._seed_iter
+
+    def count(self, n_images: int):
+        with self._stats_lock:
+            self.requests += 1
+            self.images += n_images
 
 
 def make_handler(state: _State):
@@ -119,7 +135,7 @@ def make_handler(state: _State):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.rstrip("/") not in ("/healthz", ""):
+            if self.path.split("?")[0].rstrip("/") not in ("/healthz", ""):
                 return self._reply(404, {"error": "unknown path"})
             e = state.engine
             return self._reply(200, {
@@ -133,11 +149,13 @@ def make_handler(state: _State):
             })
 
         def do_POST(self):
-            if self.path.rstrip("/") != "/generate":
+            if self.path.split("?")[0].rstrip("/") != "/generate":
                 return self._reply(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 sgs = req.get("scene_graphs")
                 if not isinstance(sgs, list) or not sgs:
                     raise ValueError("'scene_graphs' must be a non-empty "
@@ -149,20 +167,29 @@ def make_handler(state: _State):
                 noise = req.get("noise", "random")
                 if noise not in ("random", "zeros"):
                     raise ValueError("'noise' must be 'random' or 'zeros'")
-                seed = int(req.get("seed", 0))
+                # Unpinned 'random' draws a fresh seed per request —
+                # clients asking for variation get variation; pinning
+                # 'seed' makes the response reproducible.
+                seed = req.get("seed")
+                seed = state.next_seed() if seed is None else int(seed)
                 fmt = req.get("return", "png")
                 if fmt not in ("png", "npy"):
                     raise ValueError("'return' must be 'png' or 'npy'")
-            except (ValueError, KeyError, json.JSONDecodeError) as err:
+            except (ValueError, KeyError, TypeError, AttributeError,
+                    json.JSONDecodeError) as err:
                 return self._reply(400, {"error": str(err)})
 
             t0 = time.perf_counter()
             try:
                 with state.lock:
                     imgs, out = state.engine.generate(
-                        json.loads(json.dumps(sgs)),  # engine mutates dicts
+                        sgs,  # encode_scene_graphs leaves inputs untouched
                         noise=None if noise == "random" else "zeros",
                         seed=seed)
+            except ValueError as err:
+                # scene-graph encoding errors (unknown object/predicate
+                # name, bad relationship endpoint) are client errors
+                return self._reply(400, {"error": str(err)})
             except Exception as err:  # noqa: BLE001 -- surface to client
                 return self._reply(500, {"error": repr(err)})
             latency_ms = (time.perf_counter() - t0) * 1000.0
@@ -176,13 +203,13 @@ def make_handler(state: _State):
                     base64.b64encode(np.ascontiguousarray(img).tobytes())
                     .decode("ascii") for img in imgs]
             boxes = np.asarray(out["boxes"], np.float32)
-            state.requests += 1
-            state.images += len(sgs)
+            state.count(len(sgs))
             return self._reply(200, {
                 "images": payload_imgs,
                 "format": fmt,
+                "seed": seed,
                 "shape": list(imgs.shape[1:]),
-                "boxes": boxes[:len(sgs)].tolist(),
+                "boxes": boxes.tolist(),  # generate() already trims pads
                 "latency_ms": round(latency_ms, 2),
             })
 

@@ -377,6 +377,40 @@ def test_coco_cache_invalidates_on_filters_and_source(tmp_path):
         cache_mod.DecodedCache.build = orig_build
 
 
+def test_cache_parallel_build_bit_identical(tmp_path):
+    """The windowed thread-pool build (workers>1 — the default on real
+    multi-core hosts; this container's cpu_count()=1 takes the sequential
+    branch) must produce byte-identical cache files and preserve index
+    order under out-of-order completion."""
+    import time
+
+    from sg2im_tpu.data.cache import DecodedCache
+
+    rng = np.random.RandomState(0)
+    images = [rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)
+              for _ in range(37)]
+
+    def decode(i):
+        # Jitter so later indices can finish before earlier ones.
+        time.sleep(0.001 * ((i * 7) % 5))
+        return {"image": images[i], "objs": np.asarray([i % 5]),
+                "boxes": np.asarray([[0.1, 0.1, 0.5, 0.5]], np.float32),
+                "size": (8, 8)}
+
+    files = {}
+    for workers in (1, 4):
+        d = os.path.join(tmp_path, f"w{workers}")
+        cache = DecodedCache(d, {"fp": "x"})
+        cache.build(len(images), decode, O_cap=2, workers=workers)
+        files[workers] = {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d)) if not f.endswith(".json")}
+        for i in (0, 17, 36):
+            np.testing.assert_array_equal(cache.get(i)["image_u8"],
+                                          images[i])
+    assert files[1] == files[4]
+
+
 def test_cache_empty_dataset_raises(tmp_path):
     from sg2im_tpu.data.cache import DecodedCache
 

@@ -107,6 +107,9 @@ def test_request_validation(server):
         {"scene_graphs": [SG] * 5},                   # > --max_graphs 4
         {"scene_graphs": [SG], "noise": "sideways"},  # bad noise
         {"scene_graphs": [SG], "return": "bmp"},      # bad format
+        {"scene_graphs": [SG], "seed": {"a": 1}},     # unintable seed
+        [1, 2],                                       # non-dict body
+        "hello",                                      # string body
     ]:
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(server, bad)
@@ -121,10 +124,30 @@ def test_unknown_object_name_is_client_error_not_crash(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(server, {"scene_graphs": [
             {"objects": ["not-in-vocab"], "relationships": []}]})
-    assert exc.value.code == 500
+    assert exc.value.code == 400  # encoding errors are the client's
     assert "error" in json.loads(exc.value.read())
     # server still healthy afterwards
     out = _post(server, {"scene_graphs": [SG], "noise": "zeros"})
+    assert len(out["images"]) == 1
+
+
+def test_unpinned_random_noise_varies_per_request(server):
+    a = _post(server, {"scene_graphs": [SG], "return": "npy"})
+    b = _post(server, {"scene_graphs": [SG], "return": "npy"})
+    assert a["seed"] != b["seed"]
+    assert a["images"] != b["images"]
+    # the reported seed reproduces the image when pinned
+    c = _post(server, {"scene_graphs": [SG], "return": "npy",
+                       "seed": a["seed"]})
+    assert c["images"] == a["images"]
+
+
+def test_query_strings_are_ignored_in_routing(server):
+    with urllib.request.urlopen(server + "/healthz?probe=1",
+                                timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    out = _post(server, {"scene_graphs": [SG], "noise": "zeros"},
+                path="/generate?trace=1")
     assert len(out["images"]) == 1
 
 
