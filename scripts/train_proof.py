@@ -131,6 +131,12 @@ def main(argv=None):
     ap.add_argument("--snapshot_every", type=int, default=None,
                     help="passthrough: reference-layout .pt snapshot "
                          "cadence")
+    ap.add_argument("--crn_mode", default=None,
+                    help="passthrough: CRN stage-conv formulation "
+                         "('split' = the fast-training mode)")
+    ap.add_argument("--decoder", default=None,
+                    help="passthrough: image decode backend "
+                         "(data/decode.py: pil|native|native_fast)")
     ap.add_argument("--report", default=None,
                     help="markdown report path (default <repo>/TRAIN_PROOF.md)")
     args = ap.parse_args(argv)
@@ -184,6 +190,10 @@ def main(argv=None):
         flags += ["--eval_mode_after", str(args.eval_mode_after)]
     if args.snapshot_every is not None:
         flags += ["--snapshot_every", str(args.snapshot_every)]
+    if args.crn_mode:
+        flags += ["--crn_mode", args.crn_mode]
+    if args.decoder:
+        flags += ["--decoder", args.decoder]
     import contextlib
     import io
 
