@@ -46,7 +46,7 @@ def build_parser():
                              "the serving mode bench.py measures) vs the "
                              "default parity-grade 'highest'")
     parser.add_argument("--crn_mode", default=None,
-                        choices=["legacy", "phase", "split", "packed"],
+                        choices=["legacy", "phase", "split", "split_noise", "packed"],
                         help="CRN stage-conv formulation: 'split' (+5%% "
                              "e2e, exact up to sum reassociation — the "
                              "serving mode bench.py measures) vs the "

@@ -136,7 +136,7 @@ def build_parser():
                         "(+4.3%% e2e inference on v5e at 64 dB PSNR vs f32; "
                         "train-mode BN stats stay f32)")
     p.add_argument("--crn_mode", default=None,
-                   choices=["legacy", "phase", "split", "packed"],
+                   choices=["legacy", "phase", "split", "split_noise", "packed"],
                    help="CRN stage-conv formulation; 'split' avoids "
                         "materializing the per-stage concat (exact up to "
                         "sum reassociation — the serving default); "

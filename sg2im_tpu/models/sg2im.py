@@ -235,6 +235,7 @@ class Sg2ImGenerator(nn.Module):
             # consumes compute_dtype everywhere anyway; its pyramid
             # pooling then also runs half-width).
             layout = layout.astype(self.compute_dtype)
+        noise_sep = None
         if self.layout_noise_dim > 0:
             N = layout.shape[0]
             if layout_noise is None:
@@ -243,8 +244,20 @@ class Sg2ImGenerator(nn.Module):
                     (N, H, W, self.layout_noise_dim),
                     dtype=layout.dtype,
                 )
-            layout = jnp.concatenate(
-                [layout, layout_noise.astype(layout.dtype)], axis=-1)
+            if self.crn_mode == "split_noise":
+                # split_noise distributes conv0 over the channel concat
+                # AND gives the noise its own pyramid + kernel slice, so
+                # the (N, H, W, D+noise) full-res concat — the generator's
+                # biggest tensor — is never materialized.  Exact up to sum
+                # reassociation (split's exactness class).  Measured on
+                # v5e vg128/b128: LOSES ~16% vs 'split' (each extra conv
+                # branch's accumulation round-trips the stage output
+                # through HBM, outweighing the concat savings) — kept as
+                # an opt-in mode for shapes where noise_dim is large.
+                noise_sep = layout_noise.astype(layout.dtype)
+            else:
+                layout = jnp.concatenate(
+                    [layout, layout_noise.astype(layout.dtype)], axis=-1)
 
         imgs = RefinementNetwork(
             dims=(self.gconv_dim + self.layout_noise_dim,)
@@ -252,7 +265,8 @@ class Sg2ImGenerator(nn.Module):
             normalization=self.normalization,
             activation=self.activation,
             compute_dtype=self.compute_dtype,
-            conv0_mode=self.crn_mode,
+            conv0_mode=("split" if self.crn_mode == "split_noise"
+                        else self.crn_mode),
             name="refinement_net",
-        )(layout, train=train)
+        )(layout, train=train, noise=noise_sep)
         return imgs, boxes_pred, masks_pred, rel_scores

@@ -167,6 +167,14 @@ class FusedUpsampleConv(nn.Module):
         materialized.  Exact up to sum reassociation (~1e-6 relative;
         tests pin vs legacy).  Equal-resolution stages (no upsample)
         keep the plain concat+conv — their concat is tiny.
+
+    ``noise_dim`` > 0 (split mode only): the trailing ``noise_dim``
+    channels of the layout block arrive as a SEPARATE ``noise`` tensor
+    and get their own kernel slice — the full-res
+    ``concat(layout, noise)`` (the generator's biggest tensor, e.g.
+    128x128x160 per image for vg128) then never exists at ANY pyramid
+    resolution (see RefinementNetwork).  Same parameters, same exactness
+    class (sum reassociation only).
     """
 
     layout_dim: int
@@ -174,9 +182,10 @@ class FusedUpsampleConv(nn.Module):
     output_dim: int
     compute_dtype: object = None
     mode: str = "legacy"
+    noise_dim: int = 0  # trailing layout channels supplied separately
 
     @nn.compact
-    def __call__(self, layout, feats):
+    def __call__(self, layout, feats, noise=None):
         cin = self.layout_dim + self.feats_dim
         co = self.output_dim
         kernel = self.param("kernel", kaiming_normal_init(),
@@ -186,10 +195,19 @@ class FusedUpsampleConv(nn.Module):
         k = kernel.astype(dt)
         layout = layout.astype(dt)
         feats = feats.astype(dt)
+        Dl = self.layout_dim
+        if noise is not None:
+            assert self.noise_dim and self.mode == "split", (
+                "separate noise is a split-mode option")
+            assert noise.shape[-1] == self.noise_dim
+            assert layout.shape[-1] == Dl - self.noise_dim
+            noise = noise.astype(dt)
 
         if feats.shape[1] == layout.shape[1]:
-            # Feats already at layout resolution: plain concat+conv.
-            x = jnp.concatenate([layout, feats], axis=-1)
+            # Feats already at layout resolution: plain concat+conv
+            # (first stage, e.g. 4x4 for vg128 — the concat is tiny).
+            parts = [layout] + ([noise] if noise is not None else [])
+            x = jnp.concatenate(parts + [feats], axis=-1)
             return _conv(x, k, [(1, 1), (1, 1)]) + bias.astype(dt)
 
         assert 2 * feats.shape[1] == layout.shape[1], (feats.shape,
@@ -201,9 +219,14 @@ class FusedUpsampleConv(nn.Module):
 
         if self.mode == "split":
             up = upsample_nearest(feats, 2)
-            out = _conv(layout, k[:, :, :self.layout_dim],
-                        [(1, 1), (1, 1)])
-            out += _conv(up, k[:, :, self.layout_dim:], [(1, 1), (1, 1)])
+            if noise is None:
+                out = _conv(layout, k[:, :, :Dl], [(1, 1), (1, 1)])
+            else:
+                out = _conv(layout, k[:, :, :Dl - self.noise_dim],
+                            [(1, 1), (1, 1)])
+                out += _conv(noise, k[:, :, Dl - self.noise_dim:Dl],
+                             [(1, 1), (1, 1)])
+            out += _conv(up, k[:, :, Dl:], [(1, 1), (1, 1)])
             return out + bias.astype(dt)
 
         wl = k[:, :, :self.layout_dim]
@@ -293,9 +316,10 @@ class RefinementModule(nn.Module):
     activation: str = "leakyrelu"
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU-speed convs
     conv0_mode: str = "legacy"    # see FusedUpsampleConv.mode
+    noise_dim: int = 0            # see FusedUpsampleConv.noise_dim
 
     @nn.compact
-    def __call__(self, layout, feats, train: bool = False):
+    def __call__(self, layout, feats, train: bool = False, noise=None):
         """``feats`` arrives at HALF the layout resolution; the nearest-2x
         upsample of the reference (``crn.py:54-58``) is fused into the first
         conv (FusedUpsampleConv).  If ``feats`` already matches the layout
@@ -308,12 +332,15 @@ class RefinementModule(nn.Module):
         target = 2 * H if 2 * H <= HH else H
         if HH > target:
             layout = avg_pool_2d(layout, HH // target)
+            if noise is not None:
+                noise = avg_pool_2d(noise, HH // target)
 
         x = FusedUpsampleConv(
             self.layout_dim, self.input_dim, self.output_dim,
             compute_dtype=self.compute_dtype, mode=self.conv0_mode,
+            noise_dim=self.noise_dim if noise is not None else 0,
             name=f"layer{idx['conv0']}",
-        )(layout, feats)
+        )(layout, feats, noise=noise)
         for conv_key, norm_key in (("conv0", "norm0"), ("conv1", "norm1")):
             if conv_key != "conv0":
                 x = nn.Conv(
@@ -450,9 +477,21 @@ class RefinementNetwork(nn.Module):
     #                             packed kernels would dominate traffic)
 
     @nn.compact
-    def __call__(self, layout, train: bool = False):
+    def __call__(self, layout, train: bool = False, noise=None):
+        """``noise``: optional separate tensor holding the TRAILING
+        ``noise.shape[-1]`` channels of the ``dims[0]``-wide layout block
+        (split mode only).  It rides its own pyramid and its own conv0
+        kernel slice, so ``concat(layout, noise)`` is never materialized
+        at any resolution — exact up to sum reassociation (the split
+        mode's existing exactness class).  Parameters are unchanged."""
         act = parse_activation(self.activation)
         layout_dim = self.dims[0]
+        noise_dim = 0
+        if noise is not None:
+            assert self.conv0_mode == "split", (
+                "separate noise requires crn 'split' mode")
+            noise_dim = noise.shape[-1]
+            assert layout.shape[-1] + noise_dim == layout_dim
         N, H, W, _ = layout.shape
         n_mods = len(self.dims) - 1
         h0, w0 = H >> n_mods, W >> n_mods
@@ -464,17 +503,24 @@ class RefinementNetwork(nn.Module):
         # of equal-size blocks compose exactly) and reads each level once
         # instead of re-reading the full-res layout per stage — ~4x less
         # HBM traffic for the pooling chain.
-        pyramid = [layout]
-        for _ in range(n_mods - 1):
-            pyramid.append(avg_pool_2d(pyramid[-1], 2))
-        pyramid = pyramid[::-1]  # lowest resolution first
-        if self.compute_dtype is not None:
-            # Store each level in compute_dtype: per-stage layout reads
-            # are half-width in HBM.  The generator already feeds the
-            # layout in compute_dtype (cast pre-concat, models/sg2im.py),
-            # making these casts no-ops and the pooling chain itself
-            # half-width; an f32 caller still gets levels narrowed here.
-            pyramid = [p.astype(self.compute_dtype) for p in pyramid]
+        def build_pyramid(t):
+            p = [t]
+            for _ in range(n_mods - 1):
+                p.append(avg_pool_2d(p[-1], 2))
+            p = p[::-1]  # lowest resolution first
+            if self.compute_dtype is not None:
+                # Store each level in compute_dtype: per-stage layout
+                # reads are half-width in HBM.  The generator already
+                # feeds the layout in compute_dtype (cast pre-concat,
+                # models/sg2im.py), making these casts no-ops and the
+                # pooling chain itself half-width; an f32 caller still
+                # gets levels narrowed here.
+                p = [x.astype(self.compute_dtype) for x in p]
+            return p
+
+        pyramid = build_pyramid(layout)
+        noise_pyramid = (build_pyramid(noise) if noise is not None
+                         else [None] * n_mods)
 
         # The nearest-2x upsample between stages is fused into each module's
         # first conv (FusedUpsampleConv / PackedUpsampleConv) — feats are
@@ -517,8 +563,9 @@ class RefinementNetwork(nn.Module):
                     conv0_mode=(self.conv0_mode if self.conv0_mode
                                 in ("legacy", "phase", "split")
                                 else "legacy"),
+                    noise_dim=noise_dim,
                     name=f"refinement_modules_{i - 1}",
-                )(level, feats, train=train)
+                )(level, feats, train=train, noise=noise_pyramid[i - 1])
 
         if packed:
             x = PackedConv3x3(

@@ -411,6 +411,97 @@ def test_refinement_network_split_mode_matches_legacy():
                                atol=1e-4, rtol=0)
 
 
+def test_fused_upsample_conv_split_separate_noise_equals_legacy():
+    """Split conv0 with the trailing noise channels supplied separately
+    (own kernel slice) must match legacy on concat(layout, noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.nn.crn import FusedUpsampleConv
+
+    rng = np.random.RandomState(2)
+    for (R, cl, cn, cf, co) in [(4, 5, 2, 3, 7), (8, 128, 32, 128, 64)]:
+        layout = jnp.asarray(rng.randn(2, 2 * R, 2 * R, cl), jnp.float32)
+        noise = jnp.asarray(rng.randn(2, 2 * R, 2 * R, cn), jnp.float32)
+        feats = jnp.asarray(rng.randn(2, R, R, cf), jnp.float32)
+        cat = jnp.concatenate([layout, noise], axis=-1)
+        legacy = FusedUpsampleConv(cl + cn, cf, co, mode="legacy")
+        split = FusedUpsampleConv(cl + cn, cf, co, mode="split",
+                                  noise_dim=cn)
+        variables = legacy.init(jax.random.PRNGKey(0), cat, feats)
+        a = legacy.apply(variables, cat, feats)
+        b = split.apply(variables, layout, feats, noise=noise)
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5 * max(scale, 1.0), rtol=0)
+        # Equal-resolution degradation (first stage) too.
+        feats_eq = jnp.asarray(rng.randn(2, 2 * R, 2 * R, cf), jnp.float32)
+        a = legacy.apply(variables, cat, feats_eq)
+        b = split.apply(variables, layout, feats_eq, noise=noise)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5 * max(scale, 1.0), rtol=0)
+
+
+def test_refinement_network_separate_noise_matches_concat():
+    """The noise-as-own-pyramid path (split mode) must match legacy on
+    the concatenated input — concat never materialized, same params."""
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.nn.crn import RefinementNetwork
+
+    rng = np.random.RandomState(3)
+    layout = jnp.asarray(rng.randn(2, 16, 16, 4), jnp.float32)
+    noise = jnp.asarray(rng.randn(2, 16, 16, 2), jnp.float32)
+    cat = jnp.concatenate([layout, noise], axis=-1)
+    legacy = RefinementNetwork(dims=(6, 10, 8), normalization="batch")
+    split = RefinementNetwork(dims=(6, 10, 8), normalization="batch",
+                              conv0_mode="split")
+    variables = legacy.init(jax.random.PRNGKey(0), cat)
+    a = legacy.apply(variables, cat)
+    b = split.apply(variables, layout, noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=0)
+
+
+def test_generator_split_mode_matches_legacy_with_noise():
+    """Full generator: crn_mode='split' (noise auto-rides its own
+    pyramid) vs 'legacy', same params, same provided noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.models import Sg2ImGenerator
+
+    vocab = {"object_idx_to_name": [f"o{i}" for i in range(7)],
+             "pred_idx_to_name": [f"p{i}" for i in range(3)]}
+    kw = dict(image_size=(32, 32), embedding_dim=8, gconv_dim=8,
+              gconv_hidden_dim=16, gconv_num_layers=2,
+              refinement_dims=(12, 8), normalization="batch",
+              mask_size=4, layout_noise_dim=4)
+    rng = np.random.RandomState(4)
+    objs = jnp.asarray(rng.randint(0, 7, (2, 5)), jnp.int32)
+    triples = jnp.asarray(np.stack([rng.randint(0, 5, (2, 6)),
+                                    rng.randint(0, 3, (2, 6)),
+                                    rng.randint(0, 5, (2, 6))], -1),
+                          jnp.int32)
+    obj_mask = jnp.ones((2, 5), jnp.float32)
+    triple_mask = jnp.ones((2, 6), jnp.float32)
+    noise = jnp.asarray(rng.randn(2, 32, 32, 4), jnp.float32)
+
+    legacy = Sg2ImGenerator(vocab=vocab, **kw)
+    split = Sg2ImGenerator(vocab=vocab, crn_mode="split", **kw)
+    variables = legacy.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        objs, triples, obj_mask, triple_mask, train=False,
+        layout_noise=noise)
+    a = legacy.apply(variables, objs, triples, obj_mask, triple_mask,
+                     train=False, layout_noise=noise)[0]
+    b = split.apply(variables, objs, triples, obj_mask, triple_mask,
+                    train=False, layout_noise=noise)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=0)
+
+
 def test_refinement_network_phase_mode_matches_legacy():
     import jax
     import jax.numpy as jnp
