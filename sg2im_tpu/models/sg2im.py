@@ -103,9 +103,12 @@ class Sg2ImGenerator(nn.Module):
     #   536 MB/b128 tensor the roofline flagged) — the layout feeds the
     #   bf16 CRN either way, and measured PSNR is unchanged (bench.py).
     crn_mode: str = "legacy"  # RefinementNetwork.conv0_mode: 'legacy',
-    #   'phase', 'split' (per-branch conv0, concat never materialized),
-    #   or 'packed' (exact space-to-depth reformulation of the high-res
-    #   CRN stages; see nn/crn.py)
+    #   'phase', 'split' (per-branch conv0, per-stage concat never
+    #   materialized — the serving default), 'split_noise' (split + the
+    #   full-res noise concat also eliminated; measured SLOWER on v5e,
+    #   kept opt-in — see the noise block below), or 'packed' (exact
+    #   space-to-depth reformulation of the high-res CRN stages;
+    #   see nn/crn.py)
     dense_precision: object = None  # None -> HIGHEST (parity default).
     #   Serving may pass 'high' (3-pass bf16 ~f32-accurate) to halve the
     #   GCN/head Dense time — measured PSNR-safe, never the default
