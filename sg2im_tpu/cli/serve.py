@@ -19,6 +19,13 @@ Endpoints (stdlib ``http.server``; no extra dependencies):
 Device access is serialized with a lock (one TPU program at a time);
 batching happens naturally by sending several scene graphs per request
 (padded to power-of-two buckets, so 1..N graphs reuse one executable).
+``--batch_window_ms W`` additionally coalesces CONCURRENT requests:
+the first waiting request leads, collects followers for W ms (up to
+--max_graphs total), and runs ONE padded program for all of them.
+Per-request noise is derived exactly as it would be unbatched (each
+request's seed keyed over its own rows), so pinned seeds stay
+reproducible; rows are independent through the generator (eval-mode
+norms), so batchmates don't change each other's images.
 
 Example:
   python -m sg2im_tpu.cli.serve --checkpoint vg128.pt --port 8041 \
@@ -66,6 +73,11 @@ def build_parser():
     p.add_argument("--max_graphs", default=64, type=int,
                    help="reject requests with more scene graphs (one "
                         "compiled bucket bounds device memory)")
+    p.add_argument("--batch_window_ms", default=0.0, type=float,
+                   help="coalesce concurrent requests into one device "
+                        "program: the leading request waits this long "
+                        "for followers (0 = serve each request "
+                        "individually)")
     return p
 
 
@@ -93,13 +105,148 @@ def _png_bytes(img_u8: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-class _State:
-    """Engine + device lock + counters shared across handler threads."""
+class _Request:
+    """One in-flight /generate request inside the batcher."""
 
-    def __init__(self, engine, max_graphs: int):
+    __slots__ = ("sgs", "noise_mode", "seed", "done", "result", "error")
+
+    def __init__(self, sgs, noise_mode, seed):
+        self.sgs = sgs
+        self.noise_mode = noise_mode
+        self.seed = seed
+        self.done = threading.Event()
+        self.result = None  # (imgs ndarray, boxes ndarray)
+        self.error = None
+
+
+class _Batcher:
+    """Coalesces concurrent requests into one padded device program.
+
+    Leader election by device lock: the thread that wins the lock sleeps
+    ``window_ms`` to collect followers, drains the queue (respecting the
+    ``max_graphs`` bucket bound), runs ONE ``engine.generate`` over the
+    concatenated scene graphs, and distributes slices.  Each request's
+    noise is derived from its OWN seed over its OWN rows — exactly what
+    an unbatched call would have produced — so pinned seeds reproduce
+    and batchmates never change each other's outputs (rows are
+    independent through the eval-mode generator).
+    """
+
+    def __init__(self, engine, max_graphs: int, window_ms: float):
         self.engine = engine
         self.max_graphs = max_graphs
-        self.lock = threading.Lock()  # one TPU program in flight
+        self.window_s = max(0.0, window_ms) / 1e3
+        self.device_lock = threading.Lock()
+        self.queue_lock = threading.Lock()
+        self.pending: list[_Request] = []
+        self.engine_calls = 0
+        self.batched_requests = 0
+
+    # -- public -------------------------------------------------------------
+
+    def submit(self, sgs, noise_mode: str, seed: int):
+        """Blocks until served.  Returns (imgs, boxes); raises the
+        request's own error (batchmates are unaffected)."""
+        req = _Request(sgs, noise_mode, seed)
+        if self.window_s <= 0:
+            with self.device_lock:
+                self._run([req])
+        else:
+            with self.queue_lock:
+                self.pending.append(req)
+            with self.device_lock:
+                if not req.done.is_set():  # we lead
+                    time.sleep(self.window_s)
+                    self._run(self._drain(must_include=req))
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # -- internals ----------------------------------------------------------
+
+    def _drain(self, must_include: _Request) -> list[_Request]:
+        """Pop queued requests up to the max_graphs bucket bound.  The
+        leader goes first (it must be served by its own drain); then
+        FIFO-fill — row order within the device batch doesn't matter,
+        every request is sliced back out by its own offsets."""
+        with self.queue_lock:
+            self.pending.remove(must_include)
+            take, total = [must_include], len(must_include.sgs)
+            rest = []
+            for r in self.pending:
+                if total + len(r.sgs) <= self.max_graphs:
+                    take.append(r)
+                    total += len(r.sgs)
+                else:
+                    rest.append(r)
+            self.pending = rest
+            return take
+
+    def _merged_noise(self, reqs):
+        """Explicit noise rows per request: for 'random', the same
+        ``normal(PRNGKey(seed), (n_req, H, W, D))`` an unbatched call
+        would draw; zeros for 'zeros'.  None when the model is
+        noiseless."""
+        nd = self.engine.model_kwargs.get("layout_noise_dim", 0) or 0
+        if nd == 0:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        H, W = self.engine.model_kwargs.get("image_size", (64, 64))
+        rows = []
+        for r in reqs:
+            n = len(r.sgs)
+            if r.noise_mode == "zeros":
+                rows.append(np.zeros((n, H, W, nd), np.float32))
+            else:
+                rows.append(np.asarray(jax.random.normal(
+                    jax.random.PRNGKey(r.seed), (n, H, W, nd),
+                    dtype=jnp.float32)))
+        return np.concatenate(rows, axis=0)
+
+    def _run(self, reqs):
+        if not reqs:
+            return
+        if len(reqs) == 1:
+            r = reqs[0]
+            try:
+                imgs, out = self.engine.generate(
+                    r.sgs, noise=None if r.noise_mode == "random"
+                    else "zeros", seed=r.seed)
+                r.result = (imgs, np.asarray(out["boxes"], np.float32))
+            except Exception as e:  # noqa: BLE001 — belongs to this req
+                r.error = e
+            self.engine_calls += 1
+            r.done.set()
+            return
+        try:
+            all_sgs = [g for r in reqs for g in r.sgs]
+            imgs, out = self.engine.generate(
+                all_sgs, noise=self._merged_noise(reqs))
+            boxes = np.asarray(out["boxes"], np.float32)
+            self.engine_calls += 1
+            self.batched_requests += len(reqs)
+            ofs = 0
+            for r in reqs:
+                n = len(r.sgs)
+                r.result = (imgs[ofs:ofs + n], boxes[ofs:ofs + n])
+                ofs += n
+                r.done.set()
+        except Exception:
+            # One bad request (e.g. unknown vocab name) must not fail its
+            # batchmates: isolate by serving each individually.
+            for r in reqs:
+                self._run([r])
+
+
+class _State:
+    """Engine + batcher + counters shared across handler threads."""
+
+    def __init__(self, engine, max_graphs: int, window_ms: float = 0.0):
+        self.engine = engine
+        self.max_graphs = max_graphs
+        self.batcher = _Batcher(engine, max_graphs, window_ms)
         self._stats_lock = threading.Lock()
         self.requests = 0
         self.images = 0
@@ -146,6 +293,8 @@ def make_handler(state: _State):
                 "num_predicates": len(e.vocab["pred_idx_to_name"]),
                 "requests": state.requests,
                 "images": state.images,
+                "engine_calls": state.batcher.engine_calls,
+                "batched_requests": state.batcher.batched_requests,
             })
 
         def do_POST(self):
@@ -181,11 +330,7 @@ def make_handler(state: _State):
 
             t0 = time.perf_counter()
             try:
-                with state.lock:
-                    imgs, out = state.engine.generate(
-                        sgs,  # encode_scene_graphs leaves inputs untouched
-                        noise=None if noise == "random" else "zeros",
-                        seed=seed)
+                imgs, boxes = state.batcher.submit(sgs, noise, seed)
             except ValueError as err:
                 # scene-graph encoding errors (unknown object/predicate
                 # name, bad relationship endpoint) are client errors
@@ -202,7 +347,6 @@ def make_handler(state: _State):
                 payload_imgs = [
                     base64.b64encode(np.ascontiguousarray(img).tobytes())
                     .decode("ascii") for img in imgs]
-            boxes = np.asarray(out["boxes"], np.float32)
             state.count(len(sgs))
             return self._reply(200, {
                 "images": payload_imgs,
@@ -224,7 +368,8 @@ def serve_forever(args, ready_event=None):
         print(f"warming buckets {list(args.warmup)} ...", flush=True)
         shapes = engine.warmup(batch_sizes=tuple(args.warmup))
         print(f"warmed padded shapes: {shapes}", flush=True)
-    state = _State(engine, args.max_graphs)
+    state = _State(engine, args.max_graphs,
+                   window_ms=args.batch_window_ms)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(state))
     if ready_event is not None:

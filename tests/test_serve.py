@@ -151,6 +151,92 @@ def test_query_strings_are_ignored_in_routing(server):
     assert len(out["images"]) == 1
 
 
+@pytest.fixture(scope="module")
+def batch_server(tmp_path_factory):
+    """Server with request coalescing enabled (--batch_window_ms)."""
+    from sg2im_tpu.cli.serve import build_parser, serve_forever
+
+    tmp_path = tmp_path_factory.mktemp("serve_batch")
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--port", "0", "--warmup", "1",
+         "--max_graphs", "8", "--batch_window_ms", "200"])
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(args, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(timeout=120), "server failed to start"
+    httpd = ready.httpd
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _healthz(base):
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_batcher_coalesces_concurrent_requests(batch_server):
+    h0 = _healthz(batch_server)
+    results, errs = [], []
+
+    def hit(seed):
+        try:
+            results.append((seed, _post(batch_server, {
+                "scene_graphs": [SG], "seed": seed, "return": "npy"})))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit, args=(s,)) for s in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs and len(results) == 5
+    h1 = _healthz(batch_server)
+    made = h1["engine_calls"] - h0["engine_calls"]
+    assert made < 5, f"no coalescing happened ({made} calls for 5 reqs)"
+    assert h1["batched_requests"] > h0["batched_requests"]
+
+    # Per-request seeds survive batching: re-request each seed solo and
+    # compare images (uint8; bucket-size differences allow ±1 LSB).
+    for seed, r in results:
+        solo = _post(batch_server, {"scene_graphs": [SG], "seed": seed,
+                                    "return": "npy"})
+        a = np.frombuffer(base64.b64decode(r["images"][0]), np.uint8)
+        b = np.frombuffer(base64.b64decode(solo["images"][0]), np.uint8)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    # Different seeds produced different images inside the batch.
+    a = base64.b64decode(results[0][1]["images"][0])
+    b = base64.b64decode(results[1][1]["images"][0])
+    assert a != b
+
+
+def test_batcher_isolates_bad_requests(batch_server):
+    codes, oks = [], []
+
+    def bad():
+        try:
+            _post(batch_server, {"scene_graphs": [
+                {"objects": ["not-in-vocab"], "relationships": []}]})
+        except urllib.error.HTTPError as e:
+            codes.append(e.code)
+
+    def good():
+        oks.append(_post(batch_server, {"scene_graphs": [SG],
+                                        "noise": "zeros"}))
+
+    threads = [threading.Thread(target=bad)] + [
+        threading.Thread(target=good) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert codes == [400]
+    assert len(oks) == 2 and all(len(o["images"]) == 1 for o in oks)
+
+
 def test_concurrent_clients(server):
     results, errs = [], []
 
