@@ -48,9 +48,43 @@ def time_step(trainer, state, batch_d, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def roofline(trainer, state, batch_d, ms):
+    """FLOPs / HBM bytes of the jitted GAN step from XLA's own post-fusion
+    cost model, as achieved TF/s and GB/s vs the PERF.json measured peaks
+    (same methodology as scripts/roofline.py's forward sections)."""
+    import jax
+
+    batch_d = {k: jax.device_put(v) for k, v in batch_d.items()}
+    compiled = jax.jit(
+        lambda s, b: trainer.train_step(s, b, eval_mode=False)
+    ).lower(state, batch_d).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    flops, bytes_ = ca.get("flops"), ca.get("bytes accessed")
+    peaks = {}
+    perf_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PERF.json")
+    if os.path.exists(perf_path):
+        with open(perf_path) as f:
+            peaks = json.load(f).get("peaks", {})
+    mm = peaks.get("bf16_matmul_tflops_s", 153.4)
+    hbm = peaks.get("hbm_copy_gb_s", 464.9)
+    tfs = flops / (ms / 1e3) / 1e12
+    gbs = bytes_ / (ms / 1e3) / 1e9
+    return {"gflops": round(flops / 1e9, 1),
+            "mbytes": round(bytes_ / 1e6, 1),
+            "tflops_s": round(tfs, 1), "gb_s": round(gbs, 1),
+            "pct_mxu_peak": round(100 * tfs / mm, 1),
+            "pct_hbm_peak": round(100 * gbs / hbm, 1),
+            "bound": "mxu" if tfs / mm >= gbs / hbm else "hbm"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--roofline", type=int, default=1,
+                    help="1: include FLOPs/bytes roofline rows for the "
+                         "baseline and fast configs")
     args = ap.parse_args()
 
     results = {}
@@ -83,6 +117,14 @@ def main():
         results[name] = {"ms": round(dt * 1000, 2), "img_s": round(ips, 1)}
         print(f"{name:18s}: {dt * 1000:7.2f} ms/step = {ips:7.1f} img/s",
               flush=True)
+        if args.roofline and name in ("b32_f32_legacy", "b32_bf16_split",
+                                      "b128_bf16_split"):
+            try:
+                results[name].update(roofline(trainer, state, batch_d,
+                                              dt * 1000))
+                print(f"  roofline: {results[name]}", flush=True)
+            except Exception as e:  # pragma: no cover
+                print(f"  (roofline unavailable: {e!r})", flush=True)
 
     print(json.dumps(results))
 
