@@ -13,8 +13,9 @@ Endpoints (stdlib ``http.server``; no extra dependencies):
                    scene_graphs/*.json...], "noise": "random"|"zeros",
                    "seed": int, "return": "png"|"npy"}
                    -> {"images": [base64 PNG or npy per graph],
-                       "boxes": [[x0,y0,x1,y1]...],
-                       "latency_ms": float}
+                       "boxes": per graph, one [x0,y0,x1,y1] per named
+                       object (pads and the implicit __image__ node are
+                       trimmed), "seed": int, "latency_ms": float}
 
 Device access is serialized with a lock (one TPU program at a time);
 batching happens naturally by sending several scene graphs per request
@@ -186,7 +187,14 @@ class _Batcher:
         """Explicit noise rows per request: for 'random', the same
         ``normal(PRNGKey(seed), (n_req, H, W, D))`` an unbatched call
         would draw; zeros for 'zeros'.  None when the model is
-        noiseless."""
+        noiseless.
+
+        Drawn on the CPU backend: threefry bits are backend-independent
+        (same values the engine would draw on the device), and the host
+        draw avoids per-request device dispatches + downloads inside the
+        serialized device section.  Row-stability of a seed's draw across
+        batch compositions relies on ``jax_threefry_partitionable``
+        (pinned at server start in serve_forever)."""
         nd = self.engine.model_kwargs.get("layout_noise_dim", 0) or 0
         if nd == 0:
             return None
@@ -195,15 +203,33 @@ class _Batcher:
 
         H, W = self.engine.model_kwargs.get("image_size", (64, 64))
         rows = []
-        for r in reqs:
-            n = len(r.sgs)
-            if r.noise_mode == "zeros":
-                rows.append(np.zeros((n, H, W, nd), np.float32))
-            else:
-                rows.append(np.asarray(jax.random.normal(
-                    jax.random.PRNGKey(r.seed), (n, H, W, nd),
-                    dtype=jnp.float32)))
+        with jax.default_device(jax.devices("cpu")[0]):
+            for r in reqs:
+                n = len(r.sgs)
+                if r.noise_mode == "zeros":
+                    rows.append(np.zeros((n, H, W, nd), np.float32))
+                else:
+                    rows.append(np.asarray(jax.random.normal(
+                        jax.random.PRNGKey(r.seed), (n, H, W, nd),
+                        dtype=jnp.float32)))
         return np.concatenate(rows, axis=0)
+
+    def _validate(self, reqs):
+        """Host-side pre-validation: encode each request's graphs alone so
+        a client error (unknown object/predicate name, bad relationship
+        endpoint) 400s that request WITHOUT poisoning the merged device
+        call of its batchmates.  Returns the valid subset."""
+        from sg2im_tpu.data.scene_graphs import encode_scene_graphs
+
+        good = []
+        for r in reqs:
+            try:
+                encode_scene_graphs(r.sgs, self.engine.vocab)
+                good.append(r)
+            except Exception as e:  # noqa: BLE001 — belongs to this req
+                r.error = e
+                r.done.set()
+        return good
 
     def _run(self, reqs):
         if not reqs:
@@ -220,6 +246,9 @@ class _Batcher:
             self.engine_calls += 1
             r.done.set()
             return
+        reqs = self._validate(reqs)
+        if len(reqs) <= 1:
+            return self._run(reqs)
         try:
             all_sgs = [g for r in reqs for g in r.sgs]
             imgs, out = self.engine.generate(
@@ -234,8 +263,8 @@ class _Batcher:
                 ofs += n
                 r.done.set()
         except Exception:
-            # One bad request (e.g. unknown vocab name) must not fail its
-            # batchmates: isolate by serving each individually.
+            # Unexpected merged failure (validation already filtered
+            # client errors): isolate by serving each individually.
             for r in reqs:
                 self._run([r])
 
@@ -348,12 +377,19 @@ def make_handler(state: _State):
                     base64.b64encode(np.ascontiguousarray(img).tobytes())
                     .decode("ascii") for img in imgs]
             state.count(len(sgs))
+            # boxes: per graph, one [x0,y0,x1,y1] per NAMED object (the
+            # encoder appends the __image__ node and pads the object dim
+            # to a bucket — both trimmed here so the response shape
+            # depends only on the client's own graphs, not on pad
+            # buckets or coalesced batchmates).
+            boxes_out = [boxes[j][:len(sg.get("objects", []))].tolist()
+                         for j, sg in enumerate(sgs)]
             return self._reply(200, {
                 "images": payload_imgs,
                 "format": fmt,
                 "seed": seed,
                 "shape": list(imgs.shape[1:]),
-                "boxes": boxes.tolist(),  # generate() already trims pads
+                "boxes": boxes_out,
                 "latency_ms": round(latency_ms, 2),
             })
 
@@ -363,6 +399,15 @@ def make_handler(state: _State):
 def serve_forever(args, ready_event=None):
     """Build engine, warm buckets, serve.  ``ready_event`` (tests) is set
     once the socket is listening and warmup finished."""
+    if args.batch_window_ms > 0:
+        # The coalescing reproducibility contract (a pinned seed's noise
+        # rows are independent of batch composition) requires the
+        # partitionable threefry layout: normal(key, (n,...)) ==
+        # normal(key, (m,...))[:n] for n <= m.  It is the JAX default,
+        # but pin it explicitly before any program compiles.
+        import jax
+
+        jax.config.update("jax_threefry_partitionable", True)
     engine = build_engine(args)
     if args.warmup:
         print(f"warming buckets {list(args.warmup)} ...", flush=True)

@@ -464,9 +464,11 @@ def test_refinement_network_separate_noise_matches_concat():
                                atol=1e-4, rtol=0)
 
 
-def test_generator_split_mode_matches_legacy_with_noise():
-    """Full generator: crn_mode='split' (noise auto-rides its own
-    pyramid) vs 'legacy', same params, same provided noise."""
+def test_generator_split_modes_match_legacy_with_noise():
+    """Full generator: crn_mode='split' (concat noise, per-stage split
+    conv0) AND crn_mode='split_noise' (noise rides its own pyramid +
+    conv0 kernel slice; the full-res concat never materialized) vs
+    'legacy' — same params, same provided noise."""
     import jax
     import jax.numpy as jnp
 
@@ -489,17 +491,18 @@ def test_generator_split_mode_matches_legacy_with_noise():
     noise = jnp.asarray(rng.randn(2, 32, 32, 4), jnp.float32)
 
     legacy = Sg2ImGenerator(vocab=vocab, **kw)
-    split = Sg2ImGenerator(vocab=vocab, crn_mode="split", **kw)
     variables = legacy.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         objs, triples, obj_mask, triple_mask, train=False,
         layout_noise=noise)
     a = legacy.apply(variables, objs, triples, obj_mask, triple_mask,
                      train=False, layout_noise=noise)[0]
-    b = split.apply(variables, objs, triples, obj_mask, triple_mask,
-                    train=False, layout_noise=noise)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               atol=1e-4, rtol=0)
+    for mode in ("split", "split_noise"):
+        variant = Sg2ImGenerator(vocab=vocab, crn_mode=mode, **kw)
+        b = variant.apply(variables, objs, triples, obj_mask, triple_mask,
+                          train=False, layout_noise=noise)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=0, err_msg=mode)
 
 
 def test_refinement_network_phase_mode_matches_legacy():

@@ -75,7 +75,9 @@ def test_generate_png_roundtrip(server):
     img = np.asarray(Image.open(io.BytesIO(png)))
     assert img.shape == tuple(out["shape"]) == (32, 32, 3)
     boxes = np.asarray(out["boxes"])
-    assert boxes.shape[0] == 1 and boxes.shape[-1] == 4  # (1, O_pad, 4)
+    # Exactly one box per NAMED object — pads and __image__ trimmed, so
+    # the shape depends only on the client's own graph.
+    assert boxes.shape == (1, 2, 4)
     assert out["latency_ms"] > 0
 
 
@@ -181,14 +183,19 @@ def test_batcher_coalesces_concurrent_requests(batch_server):
     h0 = _healthz(batch_server)
     results, errs = [], []
 
-    def hit(seed):
+    def hit(seed, n_graphs=1):
         try:
-            results.append((seed, _post(batch_server, {
-                "scene_graphs": [SG], "seed": seed, "return": "npy"})))
+            results.append((seed, n_graphs, _post(batch_server, {
+                "scene_graphs": [SG] * n_graphs, "seed": seed,
+                "return": "npy"})))
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
-    threads = [threading.Thread(target=hit, args=(s,)) for s in range(5)]
+    # Mix single- and multi-graph requests: a 3-graph request's pinned
+    # seed must draw the same noise rows whether coalesced or solo
+    # (jax_threefry_partitionable row stability).
+    threads = [threading.Thread(target=hit, args=(s, 3 if s == 2 else 1))
+               for s in range(5)]
     for t in threads:
         t.start()
     for t in threads:
@@ -201,15 +208,19 @@ def test_batcher_coalesces_concurrent_requests(batch_server):
 
     # Per-request seeds survive batching: re-request each seed solo and
     # compare images (uint8; bucket-size differences allow ±1 LSB).
-    for seed, r in results:
-        solo = _post(batch_server, {"scene_graphs": [SG], "seed": seed,
-                                    "return": "npy"})
-        a = np.frombuffer(base64.b64decode(r["images"][0]), np.uint8)
-        b = np.frombuffer(base64.b64decode(solo["images"][0]), np.uint8)
-        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    for seed, n_graphs, r in results:
+        solo = _post(batch_server, {"scene_graphs": [SG] * n_graphs,
+                                    "seed": seed, "return": "npy"})
+        assert len(r["images"]) == n_graphs
+        for j in range(n_graphs):
+            a = np.frombuffer(base64.b64decode(r["images"][j]), np.uint8)
+            b = np.frombuffer(base64.b64decode(solo["images"][j]),
+                              np.uint8)
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
     # Different seeds produced different images inside the batch.
-    a = base64.b64decode(results[0][1]["images"][0])
-    b = base64.b64decode(results[1][1]["images"][0])
+    by_seed = {s: r for s, n, r in results}
+    a = base64.b64decode(by_seed[0]["images"][0])
+    b = base64.b64decode(by_seed[1]["images"][0])
     assert a != b
 
 
