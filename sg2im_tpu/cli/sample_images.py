@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--use_gt_boxes", default=False, type=bool_flag)
     p.add_argument("--use_gt_masks", default=False, type=bool_flag)
     p.add_argument("--save_layout", default=True, type=bool_flag)
+    p.add_argument("--decoder", default="auto",
+                   choices=["auto", "pil", "native", "native_fast"],
+                   help="image decode backend (data/decode.py)")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--vg_h5", default="datasets/vg/val.h5")
     p.add_argument("--vg_image_dir", default="datasets/vg/images")
@@ -76,6 +79,7 @@ def _build_dataset(args, ckpt_args, vocab):
             include_other=ckpt_args.get("coco_include_other", True),
             include_relationships=ckpt_args.get("include_relationships",
                                                 True),
+            decoder=args.decoder,
         )
     from sg2im_tpu.data.vg import VgSceneGraphDataset
 
@@ -86,6 +90,7 @@ def _build_dataset(args, ckpt_args, vocab):
         max_samples=args.num_samples,
         use_orphaned_objects=ckpt_args.get("vg_use_orphaned_objects", True),
         include_relationships=ckpt_args.get("include_relationships", True),
+        decoder=args.decoder,
     )
 
 

@@ -248,6 +248,32 @@ def test_batcher_isolates_bad_requests(batch_server):
     assert len(oks) == 2 and all(len(o["images"]) == 1 for o in oks)
 
 
+def test_build_engine_flag_mapping(tmp_path):
+    """--bf16/--dense_precision/--crn_mode/--deprocess_on_device flags
+    map onto the InferenceEngine configuration."""
+    import jax.numpy as jnp
+
+    from sg2im_tpu.cli.serve import build_engine, build_parser
+
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--bf16", "1", "--dense_precision", "high",
+         "--crn_mode", "split", "--deprocess_on_device", "0"])
+    engine = build_engine(args)
+    assert engine.model_kwargs["compute_dtype"] == jnp.bfloat16
+    assert engine.model_kwargs["dense_precision"] == "high"
+    assert engine.model_kwargs["crn_mode"] == "split"
+    assert engine.deprocess_on_device is False
+    # defaults: f32, no overrides, on-device deprocess on
+    args = build_parser().parse_args(["--checkpoint", ckpt])
+    engine = build_engine(args)
+    assert "compute_dtype" not in engine.model_kwargs
+    assert "dense_precision" not in engine.model_kwargs
+    assert "crn_mode" not in engine.model_kwargs
+    assert engine.deprocess_on_device is True
+
+
 def test_concurrent_clients(server):
     results, errs = [], []
 
