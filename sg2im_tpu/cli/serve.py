@@ -79,6 +79,12 @@ def build_parser():
                         "program: the leading request waits this long "
                         "for followers (0 = serve each request "
                         "individually)")
+    p.add_argument("--data_parallel", default=0, type=int,
+                   help="shard generation batches over N devices of a "
+                        "('data','model') mesh (params replicated; "
+                        "0 = single device).  Pairs well with "
+                        "--batch_window_ms: coalesced batches spread "
+                        "across chips")
     return p
 
 
@@ -95,6 +101,10 @@ def build_engine(args):
     if args.crn_mode and args.crn_mode != "legacy":
         kw["crn_mode"] = args.crn_mode
     kw["deprocess_on_device"] = args.deprocess_on_device
+    if getattr(args, "data_parallel", 0) and args.data_parallel > 1:
+        from sg2im_tpu.parallel.mesh import make_mesh
+
+        kw["mesh"] = make_mesh(n_data=args.data_parallel)
     return InferenceEngine.from_torch_checkpoint(args.checkpoint, **kw)
 
 

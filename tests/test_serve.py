@@ -248,6 +248,34 @@ def test_batcher_isolates_bad_requests(batch_server):
     assert len(oks) == 2 and all(len(o["images"]) == 1 for o in oks)
 
 
+def test_mesh_sharded_server_roundtrip(tmp_path):
+    """--data_parallel N: the server's engine shards generation batches
+    over the ('data','model') mesh (8 virtual CPU devices in tests);
+    responses must be well-formed and internally consistent on zero
+    noise (mesh-vs-single-device numeric equality is pinned separately
+    in test_parallel.py / test_engine_sharded_generation)."""
+    from sg2im_tpu.cli.serve import build_parser, serve_forever
+
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--port", "0", "--warmup", "2",
+         "--data_parallel", "2"])
+    ready = threading.Event()
+    threading.Thread(target=serve_forever, args=(args, ready),
+                     daemon=True).start()
+    assert ready.wait(timeout=120)
+    base = f"http://127.0.0.1:{ready.httpd.server_address[1]}"
+    try:
+        out = _post(base, {"scene_graphs": [SG, SG], "noise": "zeros",
+                           "return": "npy"})
+        assert len(out["images"]) == 2
+        assert out["images"][0] == out["images"][1]  # identical graphs
+        assert np.asarray(out["boxes"]).shape == (2, 2, 4)
+    finally:
+        ready.httpd.shutdown()
+
+
 def test_build_engine_flag_mapping(tmp_path):
     """--bf16/--dense_precision/--crn_mode/--deprocess_on_device flags
     map onto the InferenceEngine configuration."""
