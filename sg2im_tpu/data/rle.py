@@ -104,16 +104,31 @@ def mask_to_rle(mask: np.ndarray) -> dict:
             "counts": encode_rle_counts(runs).decode("ascii")}
 
 
-def polygons_to_mask(polygons, width: int, height: int) -> np.ndarray:
+def polygons_to_mask(polygons, width: int, height: int,
+                     offset=(0, 0)) -> np.ndarray:
     """Rasterize COCO polygon segmentation (list of flat [x0,y0,x1,y1,...]
     rings) to a (height, width) uint8 mask; rings are OR-merged (the
-    reference merges per-ring RLEs, ``coco.py:366-368``)."""
+    reference merges per-ring RLEs, ``coco.py:366-368``).
+
+    ``offset`` (ox, oy) is subtracted from every vertex: rasterizing a
+    (w, h) window at integer offset equals cropping the full raster at
+    [oy:oy+h, ox:ox+w] PROVIDED every shifted vertex stays >= 0 (PIL's
+    float scanline rounds negative coordinates toward zero, so callers
+    must anchor the window at or left of the polygon's min vertex —
+    pinned by test_polygon_window_equals_crop, 300-trial property).
+    Vertices are quantized to a 1/64-pixel grid first so the
+    integer-offset subtraction is EXACT in float64 (raw float
+    subtraction shifts representation error and flips scanline boundary
+    pixels); COCO annotations carry at most 0.01-pixel precision, so the
+    <=1/128-pixel snap is far below annotation noise."""
     from PIL import Image, ImageDraw
 
+    ox, oy = offset
     img = Image.new("1", (width, height), 0)
     draw = ImageDraw.Draw(img)
     for poly in polygons:
-        pts = [(float(poly[i]), float(poly[i + 1]))
+        pts = [((round(float(poly[i]) * 64) - ox * 64) / 64.0,
+                (round(float(poly[i + 1]) * 64) - oy * 64) / 64.0)
                for i in range(0, len(poly), 2)]
         if len(pts) >= 3:
             draw.polygon(pts, outline=1, fill=1)

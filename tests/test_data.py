@@ -49,6 +49,101 @@ def test_polygon_rasterization():
     assert m.sum() >= 64
 
 
+def test_polygon_window_equals_crop():
+    """Integer-offset window rasterization must equal cropping the full
+    raster, under the caller contract: the offset is anchored at or left
+    of the polygon's min vertex (shifted coordinates stay >= 0 — PIL's
+    float scanline rounds negative coords toward zero)."""
+    import math
+
+    rng = np.random.RandomState(0)
+    W = H = 97
+    for trial in range(60):
+        polys = []
+        for _ in range(rng.randint(1, 4)):
+            n = rng.randint(3, 9)
+            cx, cy = rng.uniform(25, 70, 2)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(3, 22, n)
+            xs = np.clip(cx + rad * np.cos(ang), 0, W)
+            ys = np.clip(cy + rad * np.sin(ang), 0, H)
+            polys.append(np.stack([xs, ys], 1).reshape(-1).tolist())
+        full = rle_mod.polygons_to_mask(polys, W, H)
+        vx = math.floor(min(p[i] for p in polys
+                            for i in range(0, len(p), 2)))
+        vy = math.floor(min(p[i] for p in polys
+                            for i in range(1, len(p), 2)))
+        x0 = rng.randint(0, max(1, vx + 1))
+        y0 = rng.randint(0, max(1, vy + 1))
+        x1 = rng.randint(x0 + 1, W + 1)
+        y1 = rng.randint(y0 + 1, H + 1)
+        win = rle_mod.polygons_to_mask(polys, x1 - x0, y1 - y0,
+                                       offset=(x0, y0))
+        np.testing.assert_array_equal(win, full[y0:y1, x0:x1],
+                                      err_msg=f"trial {trial}")
+
+
+def test_coco_polygon_fast_path_matches_full_raster(tmp_path):
+    """The loader's anchored-window polygon path must produce the SAME
+    MxM thresholded masks as the full-image raster + numpy crop it
+    replaced, on float-coordinate polygons (the realistic COCO case)."""
+    import json as json_mod
+
+    from PIL import Image
+
+    from sg2im_tpu.data.coco import CocoSceneGraphDataset
+
+    rng = np.random.RandomState(7)
+    W, H = 320, 240
+    img_dir = os.path.join(tmp_path, "images")
+    os.makedirs(img_dir)
+    Image.fromarray(rng.randint(0, 255, (H, W, 3), dtype=np.uint8)).save(
+        os.path.join(img_dir, "i.png"))
+    anns = []
+    for j in range(6):
+        n = rng.randint(3, 9)
+        cx, cy = rng.uniform(60, 260), rng.uniform(50, 190)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(15, 45, n)
+        xs = np.clip(cx + rad * np.cos(ang), 0, W - 1)
+        ys = np.clip(cy + rad * np.sin(ang), 0, H - 1)
+        poly = np.stack([xs, ys], 1).reshape(-1).round(2).tolist()
+        x0, y0 = float(xs.min()), float(ys.min())
+        anns.append({"id": j + 1, "image_id": 1, "category_id": 1 + j % 3,
+                     "bbox": [x0, y0, float(xs.max() - x0),
+                              float(ys.max() - y0)],
+                     "segmentation": [poly]})
+    inst = {"images": [{"id": 1, "file_name": "i.png",
+                        "width": W, "height": H}],
+            "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"},
+                           {"id": 3, "name": "c"}],
+            "annotations": anns}
+    inst_path = os.path.join(tmp_path, "inst.json")
+    with open(inst_path, "w") as f:
+        json_mod.dump(inst, f)
+    ds = CocoSceneGraphDataset(image_dir=img_dir, instances_json=inst_path,
+                               stuff_json=None, stuff_only=False,
+                               image_size=(64, 64), mask_size=16, seed=0,
+                               min_objects_per_image=1,
+                               max_objects_per_image=8)
+    got = ds._decode_invariant(0)["masks"]
+
+    # Reference computation: full-canvas raster + numpy crop.
+    want = []
+    for od in ds.image_id_to_objects[1]:
+        x, y, w, h = od["bbox"]
+        mask = rle_mod.seg_to_mask(od["segmentation"], W, H)
+        mx0, mx1 = int(round(x)), max(int(round(x)) + 1, int(round(x + w)))
+        my0, my1 = int(round(y)), max(int(round(y)) + 1, int(round(y + h)))
+        mask = mask[my0:my1, mx0:mx1]
+        from sg2im_tpu.data.decode import resize_u8
+
+        m = resize_u8(mask * 255, (16, 16), ds.decoder)
+        want.append((m.astype(np.float32) > 128).astype(np.int64))
+    want.append(np.ones((16, 16), np.int64))
+    np.testing.assert_array_equal(got, np.stack(want))
+
+
 # ---------------------------------------------------------------------------
 # Synthetic COCO fixture
 # ---------------------------------------------------------------------------
