@@ -102,8 +102,15 @@ def build_engine(args):
         kw["crn_mode"] = args.crn_mode
     kw["deprocess_on_device"] = args.deprocess_on_device
     if getattr(args, "data_parallel", 0) and args.data_parallel > 1:
+        import jax
+
         from sg2im_tpu.parallel.mesh import make_mesh
 
+        n_dev = len(jax.devices())
+        if args.data_parallel > n_dev:
+            raise SystemExit(
+                f"--data_parallel {args.data_parallel} exceeds the "
+                f"{n_dev} available device(s)")
         kw["mesh"] = make_mesh(n_data=args.data_parallel)
     return InferenceEngine.from_torch_checkpoint(args.checkpoint, **kw)
 

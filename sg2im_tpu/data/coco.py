@@ -316,23 +316,25 @@ class CocoSceneGraphDataset:
         MH = MW = self.mask_size
         # Vectorized mask-weighted centers (one pass over (O, MH, MW)
         # instead of per-object linspace/broadcast/fancy-index — the
-        # loop was ~0.9 ms/sample of pure numpy call overhead).  Math is
-        # identical to xs[m].mean(): the row weight of column j is the
-        # number of selected pixels in that column, and linspace(a, b, n)
-        # == a + (b - a) * linspace(0, 1, n) exactly in float64 for the
-        # endpoints and to 1 ulp inside (np.linspace computes step*i + a
-        # either way); per-sample reference-equality tests pin the
-        # resulting triples.
-        boxes64 = np.asarray(boxes, np.float64)
-        x0, y0, x1, y1 = (boxes64[:, k] for k in range(4))
+        # loop was ~0.9 ms/sample of pure numpy call overhead).
+        # Mathematically xs[m].mean() == sum_j count_j * xs_j / count:
+        # the row weight of column j is the number of selected pixels in
+        # that column.  Arithmetic stays float32 like the reference
+        # (torch.linspace + float32 masked mean, coco.py:297-311);
+        # float32 summation ORDER differs from both the old per-object
+        # path and torch (last-ulp center differences — a predicate flip
+        # would need theta within ~1e-7 of a pi/4 boundary), and the
+        # per-sample reference-equality tests pin the resulting triples.
+        boxes32 = np.asarray(boxes, np.float32)
+        x0, y0, x1, y1 = (boxes32[:, k] for k in range(4))
         m = np.asarray(masks) == 1  # (O, MH, MW)
-        tx = np.linspace(0.0, 1.0, MW)
-        ty = np.linspace(0.0, 1.0, MH)
+        tx = np.linspace(0.0, 1.0, MW, dtype=np.float32)
+        ty = np.linspace(0.0, 1.0, MH, dtype=np.float32)
         xs = x0[:, None] + (x1 - x0)[:, None] * tx[None, :]  # (O, MW)
         ys = y0[:, None] + (y1 - y0)[:, None] * ty[None, :]  # (O, MH)
-        cnt = m.sum(axis=(1, 2))  # (O,)
-        col_w = m.sum(axis=1)     # (O, MW) pixels per column
-        row_w = m.sum(axis=2)     # (O, MH) pixels per row
+        cnt = m.sum(axis=(1, 2), dtype=np.float32)  # (O,)
+        col_w = m.sum(axis=1, dtype=np.float32)  # (O, MW) px per column
+        row_w = m.sum(axis=2, dtype=np.float32)  # (O, MH) px per row
         with np.errstate(invalid="ignore"):
             cx = (col_w * xs).sum(axis=1) / cnt
             cy = (row_w * ys).sum(axis=1) / cnt

@@ -115,7 +115,7 @@ def polygons_to_mask(polygons, width: int, height: int,
     [oy:oy+h, ox:ox+w] PROVIDED every shifted vertex stays >= 0 (PIL's
     float scanline rounds negative coordinates toward zero, so callers
     must anchor the window at or left of the polygon's min vertex —
-    pinned by test_polygon_window_equals_crop, 300-trial property).
+    pinned by the test_polygon_window_equals_crop property test).
     Vertices are quantized to a 1/64-pixel grid first so the
     integer-offset subtraction is EXACT in float64 (raw float
     subtraction shifts representation error and flips scanline boundary
