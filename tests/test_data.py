@@ -472,6 +472,46 @@ def test_coco_cache_invalidates_on_filters_and_source(tmp_path):
         cache_mod.DecodedCache.build = orig_build
 
 
+def test_coco_cache_bit_identical_native_fast(tmp_path):
+    """Cached and uncached samples must also agree under the DCT-prescale
+    decoder (whose bytes differ from PIL — the cache fingerprints it, so
+    a fast-mode cache never serves exact-mode tensors or vice versa)."""
+    from sg2im_tpu.data.decode import resolve_decoder
+
+    if resolve_decoder("native_fast") != "native_fast":
+        pytest.skip("native decoder unavailable")
+    img_dir, inst_path, stuff_path = _fake_coco(str(tmp_path))
+    kwargs = dict(image_dir=img_dir, instances_json=inst_path,
+                  stuff_json=stuff_path, image_size=(32, 32), mask_size=8,
+                  seed=3, decoder="native_fast")
+    cache_dir = os.path.join(tmp_path, "cache")
+    plain = CocoSceneGraphDataset(**kwargs)
+    cached = CocoSceneGraphDataset(cache_dir=cache_dir, **kwargs)
+    for i in range(len(plain)):
+        a, b = plain.getitem_at_epoch(i, 1), cached.getitem_at_epoch(i, 1)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+    # An exact-mode dataset pointed at the same cache dir must REBUILD
+    # (fingerprint differs), not serve fast-mode bytes.
+    import sg2im_tpu.data.cache as cache_mod
+
+    called = {}
+    orig_build = cache_mod.DecodedCache.build
+
+    def spy(self, *a, **kw):
+        called["rebuilt"] = True
+        return orig_build(self, *a, **kw)
+
+    try:
+        cache_mod.DecodedCache.build = spy
+        CocoSceneGraphDataset(cache_dir=cache_dir,
+                              **{**kwargs, "decoder": "native"})
+    finally:
+        cache_mod.DecodedCache.build = orig_build
+    assert called.get("rebuilt")
+
+
 def test_cache_parallel_build_bit_identical(tmp_path):
     """The windowed thread-pool build (workers>1 — the default on real
     multi-core hosts; this container's cpu_count()=1 takes the sequential

@@ -276,6 +276,49 @@ def test_mesh_sharded_server_roundtrip(tmp_path):
         ready.httpd.shutdown()
 
 
+def test_mesh_plus_coalescing_combined(tmp_path):
+    """--data_parallel with --batch_window_ms: coalesced batches shard
+    over the mesh; concurrent requests still come back correct."""
+    from sg2im_tpu.cli.serve import build_parser, serve_forever
+
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--port", "0", "--warmup", "2",
+         "--data_parallel", "2", "--batch_window_ms", "200",
+         "--max_graphs", "8"])
+    ready = threading.Event()
+    threading.Thread(target=serve_forever, args=(args, ready),
+                     daemon=True).start()
+    assert ready.wait(timeout=120)
+    base = f"http://127.0.0.1:{ready.httpd.server_address[1]}"
+    try:
+        h0 = _healthz(base)
+        results, errs = [], []
+
+        def hit(seed):
+            try:
+                results.append(_post(base, {
+                    "scene_graphs": [SG], "seed": seed, "return": "npy"}))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=hit, args=(s,))
+                   for s in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs and len(results) == 4
+        h1 = _healthz(base)
+        assert h1["engine_calls"] - h0["engine_calls"] < 4
+        for r in results:
+            img = np.frombuffer(base64.b64decode(r["images"][0]), np.uint8)
+            assert img.reshape(r["shape"]).shape == (32, 32, 3)
+    finally:
+        ready.httpd.shutdown()
+
+
 def test_build_engine_flag_mapping(tmp_path):
     """--bf16/--dense_precision/--crn_mode/--deprocess_on_device flags
     map onto the InferenceEngine configuration."""
