@@ -199,6 +199,70 @@ def test_load_image_u8_backends_agree(tmp_path):
         resolve_decoder("nonsense")
 
 
+def test_resize_fuzz_matches_pil():
+    """Randomized source/target shapes: the native resampler must stay
+    bit-identical to PIL across odd sizes, extreme aspect ratios, and
+    up/down mixes."""
+    from PIL import Image
+
+    rng = np.random.RandomState(11)
+    for _ in range(25):
+        ih, iw = rng.randint(1, 150, 2)
+        oh, ow = rng.randint(1, 150, 2)
+        arr = rng.randint(0, 256, (ih, iw, 3), dtype=np.uint8)
+        want = np.asarray(Image.fromarray(arr).resize(
+            (ow, oh), Image.BILINEAR), np.uint8)
+        got = imagedec.resize_u8(arr, (oh, ow))
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"{(ih, iw)}->{(oh, ow)}")
+
+
+def test_vg_dataset_native_equals_pil(tmp_path):
+    """VG image decode path: byte-identical across decode backends."""
+    import json as json_mod
+
+    import h5py
+    from PIL import Image
+
+    from sg2im_tpu.data.vg import VgSceneGraphDataset
+
+    rng = np.random.RandomState(5)
+    img_dir = os.path.join(tmp_path, "images")
+    os.makedirs(img_dir)
+    paths = []
+    for i in range(3):
+        fn = f"v{i}.jpg"
+        Image.fromarray(_natural(120 + 7 * i, 160 + 5 * i, seed=i)).save(
+            os.path.join(img_dir, fn), quality=90)
+        paths.append(fn)
+    h5_path = os.path.join(tmp_path, "t.h5")
+    n, O, T = 3, 4, 3
+    with h5py.File(h5_path, "w") as f:
+        f.create_dataset("image_paths", data=np.array(
+            [p.encode() for p in paths]))
+        f["object_names"] = rng.randint(1, 5, (n, O)).astype(np.int64)
+        f["objects_per_image"] = np.full((n,), O, np.int64)
+        f["object_boxes"] = rng.randint(0, 50, (n, O, 4)).astype(np.int64)
+        rel = np.zeros((n, T, 3), np.int64)
+        rel[:, :, 0] = rng.randint(0, O, (n, T))
+        rel[:, :, 1] = 1
+        rel[:, :, 2] = rng.randint(0, O, (n, T))
+        f["relationships"] = rel
+        f["relationships_per_image"] = np.full((n,), T, np.int64)
+    vocab = {"object_idx_to_name": ["__image__", "a", "b", "c", "d"],
+             "pred_idx_to_name": ["__in_image__", "p"],
+             "object_name_to_idx": {}, "pred_name_to_idx": {}}
+    kw = dict(vocab=vocab, h5_path=h5_path, image_dir=img_dir,
+              image_size=(64, 64), max_objects=4, seed=0)
+    a = VgSceneGraphDataset(decoder="pil", **kw)
+    b = VgSceneGraphDataset(decoder="native", **kw)
+    for i in range(n):
+        np.testing.assert_array_equal(a._decode_invariant(i)["image"],
+                                      b._decode_invariant(i)["image"])
+        assert (a._decode_invariant(i)["size"]
+                == b._decode_invariant(i)["size"])
+
+
 def test_coco_dataset_native_equals_pil(tmp_path):
     """End-to-end: the dataset's samples are byte-identical across
     decode backends (the parity-test-pinning guarantee)."""
