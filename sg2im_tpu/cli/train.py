@@ -142,6 +142,10 @@ def build_parser():
                         "sum reassociation — the serving default); "
                         "'legacy' (default) keeps the reference-shaped "
                         "composition")
+    p.add_argument("--tensorboard_dir", default=None,
+                   help="also mirror the scalar stream as TensorBoard "
+                        "events (train/* and eval/* tags; torch's event "
+                        "writer, process 0 only)")
     p.add_argument("--log_jsonl", default=True, type=bool_flag,
                    help="append scalar records to <output_dir>/log.jsonl "
                         "(one JSON object per print/eval event — a "
@@ -152,7 +156,8 @@ def build_parser():
 
 
 def make_scalar_logger(config: TrainConfig, process_index: int = 0):
-    """Append-mode JSONL scalar stream (``<output_dir>/log.jsonl``).
+    """Append-mode JSONL scalar stream (``<output_dir>/log.jsonl``) and
+    optional TensorBoard event mirror (``--tensorboard_dir``).
 
     TPU-native extension (the reference only prints to stdout,
     ``scripts/train.py:524-560``): one JSON object per print/eval event so
@@ -161,13 +166,33 @@ def make_scalar_logger(config: TrainConfig, process_index: int = 0):
     step, so a resumed run continues the same stream.  No-op on non-zero
     processes under --multihost (metrics are already globally reduced).
     """
-    if not config.log_jsonl or process_index != 0:
+    if process_index != 0 or not (config.log_jsonl
+                                  or config.tensorboard_dir):
         return lambda record: None
     path = os.path.join(config.output_dir, "log.jsonl")
+    tb = None
+    if config.tensorboard_dir:
+        try:
+            # torch's event writer (torch-cpu is a baked-in dependency);
+            # scalars land under train/ and eval/ tags keyed by step t.
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(config.tensorboard_dir)
+        except Exception as e:  # pragma: no cover — optional sink
+            print(f"WARNING: --tensorboard_dir disabled ({e!r})")
 
     def write(record):
-        with open(path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        if config.log_jsonl:
+            with open(path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        if tb is not None:
+            kind, t = record.get("kind", "train"), record.get("t", 0)
+            for k, v in record.items():
+                if k in ("kind", "t"):
+                    continue
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    tb.add_scalar(f"{kind}/{k}", v, global_step=int(t))
+            tb.flush()
 
     return write
 

@@ -108,6 +108,7 @@ class TrainConfig:
     #   'phase' | 'split' | 'packed'); 'split' skips materializing the
     #   per-stage concat — exact up to sum reassociation (see nn/crn.py)
     log_jsonl: bool = True     # stream scalars to <output_dir>/log.jsonl
+    tensorboard_dir: str | None = None  # mirror scalars as TB events
 
     @property
     def use_obj_discriminator(self) -> bool:

@@ -122,9 +122,10 @@ def test_train_cli_and_resume(tmp_path, capsys):
     # out_dir deliberately NOT pre-created: the CLI must make it (a
     # snapshot before the first checkpoint crashed otherwise).
     out_dir = os.path.join(tmp_path, "run")
+    tb_dir = os.path.join(tmp_path, "tb")
     flags = _coco_flags(tmp_path) + [
         "--num_iterations", "4", "--output_dir", out_dir,
-        "--snapshot_every", "3"]
+        "--snapshot_every", "3", "--tensorboard_dir", tb_dir]
     assert main(flags) == 0
     captured = capsys.readouterr().out
     assert "t = 4 / 4" in captured
@@ -172,6 +173,18 @@ def test_train_cli_and_resume(tmp_path, capsys):
     assert [r["t"] for r in train_recs] == [1, 2, 3, 4]  # print_every=1
     assert "total_loss" in train_recs[0]
     assert [r["t"] for r in eval_recs] == [2, 4]  # checkpoint_every=2
+
+    # --tensorboard_dir mirrors the same scalars as TB events (train/*
+    # and eval/* tags at the right steps).
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert "train/total_loss" in tags and "eval/val_iou" in tags
+    steps = [e.step for e in acc.Scalars("train/total_loss")]
+    assert steps == [1, 2, 3, 4]
     assert {"train_iou", "val_iou", "val_total_loss"} <= set(eval_recs[0])
 
     # Resume and run 2 more iterations.
