@@ -50,15 +50,45 @@ def _to_host(x):
     return np.asarray(x)
 
 
+# -- async save machinery ----------------------------------------------------
+# ``save_checkpoint(..., wait=False)`` returns once the state is safely
+# materialized OFF the device buffers (host numpy for msgpack; Orbax's own
+# async staging for orbax) and completes the disk write in the background —
+# training's next step can donate the state buffers immediately.  A later
+# save, any load, and wait_pending() all join the outstanding write first.
+_pending_write = None  # threading.Thread | "orbax" | None
+_orbax_ckptr = None    # long-lived StandardCheckpointer for async saves
+
+
+def wait_pending():
+    """Block until any in-flight async checkpoint write has finished."""
+    global _pending_write
+    if _pending_write is None:
+        return
+    if _pending_write == "orbax":
+        if _orbax_ckptr is not None:
+            _orbax_ckptr.wait_until_finished()
+    else:
+        _pending_write.join()
+    _pending_write = None
+
+
 def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
-                    backend: str | None = None, arrays=None):
+                    backend: str | None = None, arrays=None,
+                    wait: bool = True):
     """``arrays`` is an optional pytree of numpy arrays (sample/batch-data
     histories, reference ``train.py:611-661``) written to a msgpack sidecar
     — too large for meta.json, not part of the resumable train state.
 
     Multi-host: with the msgpack backend only process 0 writes (state is
     replicated); the Orbax backend saves collectively from all processes.
+
+    ``wait=False`` overlaps the disk write with training (see
+    :func:`wait_pending`); the state is materialized off the device
+    buffers before returning either way, so donation stays safe.
     """
+    global _pending_write, _orbax_ckptr
+    wait_pending()  # one in-flight write at a time; also orders saves
     backend = backend or _default_backend()
     proc0 = jax.process_index() == 0
     if proc0:
@@ -80,7 +110,9 @@ def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
-        ckptr = ocp.StandardCheckpointer()
+        if _orbax_ckptr is None:
+            _orbax_ckptr = ocp.StandardCheckpointer()
+        ckptr = _orbax_ckptr
         target = os.path.join(os.path.abspath(path), "state_orbax")
         # StandardCheckpointer rejects scalar leaves; lift to 0-d arrays.
         # Non-addressable (multi-host) jax.Arrays are passed through — Orbax
@@ -90,12 +122,38 @@ def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
                             and not x.is_fully_addressable)
             else np.asarray(x), state)
         ckptr.save(target, arr_state, force=True)
-        ckptr.wait_until_finished()
+        # Multi-host leaves are passed through as live jax.Arrays that
+        # Orbax gathers DURING the write — returning early would let the
+        # next train step donate those buffers out from under it, so
+        # async applies only when every leaf was copied to host above.
+        device_leaves = any(
+            hasattr(x, "is_fully_addressable") and not x.is_fully_addressable
+            for x in jax.tree.leaves(state))
+        if wait or device_leaves:
+            ckptr.wait_until_finished()
+        else:
+            _pending_write = "orbax"
     else:
         from flax import serialization
 
-        with open(os.path.join(path, "state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(state))
+        def write_msgpack(host_state=state):
+            # tmp + atomic replace: a crash mid-write (or a reader racing
+            # an async write) sees the previous complete checkpoint,
+            # never a torso.
+            final = os.path.join(path, "state.msgpack")
+            tmp = final + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(serialization.to_bytes(host_state))
+            os.replace(tmp, final)
+
+        if wait:
+            write_msgpack()
+        else:
+            import threading
+
+            t = threading.Thread(target=write_msgpack, daemon=True)
+            t.start()
+            _pending_write = t
     if not proc0:
         return
     meta = {"config": config, "vocab": vocab, "extra": extra}
@@ -114,6 +172,7 @@ def load_checkpoint(path: str, template):
     """Restore a state saved by ``save_checkpoint``; ``template`` supplies
     the pytree structure (an initialized TrainState).  Auto-detects the
     backend from what is on disk."""
+    wait_pending()  # never read an async write's target mid-flight
     orbax_path = os.path.join(os.path.abspath(path), "state_orbax")
     msgpack_path = os.path.join(path, "state.msgpack")
     if os.path.exists(orbax_path):

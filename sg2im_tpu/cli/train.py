@@ -142,6 +142,12 @@ def build_parser():
                         "sum reassociation — the serving default); "
                         "'legacy' (default) keeps the reference-shaped "
                         "composition")
+    p.add_argument("--async_checkpoint", default=False, type=bool_flag,
+                   help="overlap checkpoint disk writes with training: "
+                        "the state is materialized off the device before "
+                        "the step loop continues, the serialize+write "
+                        "runs in the background (atomic replace; joined "
+                        "before any later save/load and at exit)")
     p.add_argument("--tensorboard_dir", default=None,
                    help="also mirror the scalar stream as TensorBoard "
                         "events (train/* and eval/* tags; torch's event "
@@ -498,7 +504,8 @@ def main(argv=None):
                         state, ckpt_path,
                         extra={k: (dict(v) if isinstance(v, defaultdict)
                                    else v) for k, v in history.items()},
-                        arrays=sample_history)
+                        arrays=sample_history,
+                        wait=not config.async_checkpoint)
                     print("Saved checkpoint to", ckpt_path)
 
                 if (config.snapshot_every > 0
@@ -528,6 +535,9 @@ def main(argv=None):
                         config.generator_kwargs(), vocab,
                         args=dataclasses.asdict(config))
                     print("Saved snapshot to", snap)
+    from sg2im_tpu.ckpt.store import wait_pending
+
+    wait_pending()  # --async_checkpoint: never exit mid-write
     return 0
 
 

@@ -109,6 +109,7 @@ class TrainConfig:
     #   per-stage concat — exact up to sum reassociation (see nn/crn.py)
     log_jsonl: bool = True     # stream scalars to <output_dir>/log.jsonl
     tensorboard_dir: str | None = None  # mirror scalars as TB events
+    async_checkpoint: bool = False  # overlap checkpoint writes with steps
 
     @property
     def use_obj_discriminator(self) -> bool:

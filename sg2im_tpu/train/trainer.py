@@ -332,11 +332,11 @@ class Trainer:
     # -- checkpointing -----------------------------------------------------
 
     def save_checkpoint(self, state: TrainState, path: str, extra=None,
-                        arrays=None):
+                        arrays=None, wait: bool = True):
         from sg2im_tpu.ckpt.store import save_checkpoint
 
         save_checkpoint(path, state, config=self.config, vocab=self.vocab,
-                        extra=extra, arrays=arrays)
+                        extra=extra, arrays=arrays, wait=wait)
 
     def load_checkpoint(self, path: str, state: TrainState | None = None):
         from sg2im_tpu.ckpt.store import load_checkpoint

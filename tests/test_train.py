@@ -127,6 +127,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(float(m["total_loss"]))
 
 
+@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
+def test_async_checkpoint_roundtrip(tmp_path, backend):
+    """wait=False saves overlap the write with training: the state is
+    off-device before return, back-to-back saves serialize (second joins
+    the first), wait_pending()/load never reads a torso, and the bytes
+    equal a synchronous save's."""
+    from sg2im_tpu.ckpt import store
+
+    config = TrainConfig(**TINY)
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=5)
+    rng = np.random.RandomState(6)
+    state, _ = trainer.step(state, _rand_batch(rng, config))
+
+    path = os.path.join(tmp_path, "ackpt")
+    store.save_checkpoint(path, state, backend=backend, wait=False)
+    # Training continues (and may donate buffers) while the write runs.
+    state2, m = trainer.step(state, _rand_batch(rng, config))
+    assert np.isfinite(float(m["total_loss"]))
+    # A second async save joins the first, then overwrites with state2.
+    store.save_checkpoint(path, state2, backend=backend, wait=False)
+    restored, _ = store.load_checkpoint(path, trainer.init_state(seed=0))
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    store.wait_pending()  # idempotent after load already joined
+
+
 def test_nan_guard_skips_update():
     config = TrainConfig(**TINY)
     trainer = Trainer(config, VOCAB)
