@@ -56,21 +56,54 @@ def _to_host(x):
 # async staging for orbax) and completes the disk write in the background —
 # training's next step can donate the state buffers immediately.  A later
 # save, any load, and wait_pending() all join the outstanding write first.
-_pending_write = None  # threading.Thread | "orbax" | None
+_pending_write = None  # _WriterThread | "orbax" | None
 _orbax_ckptr = None    # long-lived StandardCheckpointer for async saves
+_atexit_registered = False
+
+
+def _wait_pending_at_exit():  # pragma: no cover — interpreter shutdown
+    try:
+        wait_pending()
+    except Exception as e:  # noqa: BLE001 — exit path: report, don't mask
+        print(f"WARNING: async checkpoint write failed at exit: {e!r}")
 
 
 def wait_pending():
-    """Block until any in-flight async checkpoint write has finished."""
+    """Block until any in-flight async checkpoint write has finished.
+    Re-raises the background writer's exception (a failed async save must
+    not masquerade as success)."""
     global _pending_write
     if _pending_write is None:
         return
-    if _pending_write == "orbax":
+    pending, _pending_write = _pending_write, None
+    if pending == "orbax":
         if _orbax_ckptr is not None:
             _orbax_ckptr.wait_until_finished()
-    else:
-        _pending_write.join()
-    _pending_write = None
+        return
+    pending.join()
+    if pending.error is not None:
+        raise pending.error
+
+
+class _WriterThread:
+    """Daemon thread wrapper that captures the write fn's exception."""
+
+    def __init__(self, fn):
+        import threading
+
+        self.error: BaseException | None = None
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised in join
+                self.error = e
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def join(self):
+        self._t.join()
 
 
 def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
@@ -133,29 +166,47 @@ def save_checkpoint(path: str, state, config=None, vocab=None, extra=None,
             ckptr.wait_until_finished()
         else:
             _pending_write = "orbax"
-    else:
-        from flax import serialization
+        if proc0:
+            _write_meta(path, config, vocab, extra, arrays)
+        return
 
-        def write_msgpack(host_state=state):
-            # tmp + atomic replace: a crash mid-write (or a reader racing
-            # an async write) sees the previous complete checkpoint,
-            # never a torso.
-            final = os.path.join(path, "state.msgpack")
-            tmp = final + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(serialization.to_bytes(host_state))
-            os.replace(tmp, final)
+    from flax import serialization
 
-        if wait:
-            write_msgpack()
-        else:
-            import threading
+    def write_all(host_state=state):
+        # tmp + atomic replace: a crash mid-write (or a reader racing
+        # an async write) sees the previous complete checkpoint, never
+        # a torso.  meta.json/history.msgpack follow the state replace
+        # (same ordering as a synchronous save), so a preemption can
+        # never leave NEW histories next to an OLD state — the resume
+        # counters and histories always belong to the same save or an
+        # earlier one.
+        final = os.path.join(path, "state.msgpack")
+        tmp = final + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(host_state))
+        os.replace(tmp, final)
+        _write_meta(path, config, vocab, extra, arrays)
 
-            t = threading.Thread(target=write_msgpack, daemon=True)
-            t.start()
-            _pending_write = t
     if not proc0:
         return
+    if wait:
+        write_all()
+    else:
+        # Serialization + disk I/O (incl. the growing history sidecar)
+        # all leave the training critical path.  atexit joins the writer
+        # on ANY interpreter exit (uncaught exception, Ctrl-C, sys.exit)
+        # — daemon threads are otherwise killed mid-write and the last
+        # announced checkpoint would silently be the previous one.
+        global _atexit_registered
+        if not _atexit_registered:
+            import atexit
+
+            atexit.register(_wait_pending_at_exit)
+            _atexit_registered = True
+        _pending_write = _WriterThread(write_all)
+
+
+def _write_meta(path, config, vocab, extra, arrays):
     meta = {"config": config, "vocab": vocab, "extra": extra}
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, default=_meta_default)

@@ -145,9 +145,13 @@ def build_parser():
     p.add_argument("--async_checkpoint", default=False, type=bool_flag,
                    help="overlap checkpoint disk writes with training: "
                         "the state is materialized off the device before "
-                        "the step loop continues, the serialize+write "
-                        "runs in the background (atomic replace; joined "
-                        "before any later save/load and at exit)")
+                        "the step loop continues and the serialize+write "
+                        "runs in the background (joined before any later "
+                        "save/load and at interpreter exit).  The default "
+                        "msgpack backend replaces atomically (crash keeps "
+                        "the previous checkpoint); the orbax backend "
+                        "rewrites its directory in place, and multi-host "
+                        "orbax saves stay synchronous")
     p.add_argument("--tensorboard_dir", default=None,
                    help="also mirror the scalar stream as TensorBoard "
                         "events (train/* and eval/* tags; torch's event "

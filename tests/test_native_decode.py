@@ -218,49 +218,23 @@ def test_resize_fuzz_matches_pil():
 
 
 def test_vg_dataset_native_equals_pil(tmp_path):
-    """VG image decode path: byte-identical across decode backends."""
-    import json as json_mod
-
-    import h5py
-    from PIL import Image
+    """VG samples byte-identical across decode backends (the real h5
+    schema via tests/test_data.py's fixture, exercising full __getitem__
+    not just the image decode)."""
+    from tests.test_data import _fake_vg
 
     from sg2im_tpu.data.vg import VgSceneGraphDataset
 
-    rng = np.random.RandomState(5)
-    img_dir = os.path.join(tmp_path, "images")
-    os.makedirs(img_dir)
-    paths = []
-    for i in range(3):
-        fn = f"v{i}.jpg"
-        Image.fromarray(_natural(120 + 7 * i, 160 + 5 * i, seed=i)).save(
-            os.path.join(img_dir, fn), quality=90)
-        paths.append(fn)
-    h5_path = os.path.join(tmp_path, "t.h5")
-    n, O, T = 3, 4, 3
-    with h5py.File(h5_path, "w") as f:
-        f.create_dataset("image_paths", data=np.array(
-            [p.encode() for p in paths]))
-        f["object_names"] = rng.randint(1, 5, (n, O)).astype(np.int64)
-        f["objects_per_image"] = np.full((n,), O, np.int64)
-        f["object_boxes"] = rng.randint(0, 50, (n, O, 4)).astype(np.int64)
-        rel = np.zeros((n, T, 3), np.int64)
-        rel[:, :, 0] = rng.randint(0, O, (n, T))
-        rel[:, :, 1] = 1
-        rel[:, :, 2] = rng.randint(0, O, (n, T))
-        f["relationships"] = rel
-        f["relationships_per_image"] = np.full((n,), T, np.int64)
-    vocab = {"object_idx_to_name": ["__image__", "a", "b", "c", "d"],
-             "pred_idx_to_name": ["__in_image__", "p"],
-             "object_name_to_idx": {}, "pred_name_to_idx": {}}
+    vocab, h5_path, img_dir = _fake_vg(str(tmp_path))
     kw = dict(vocab=vocab, h5_path=h5_path, image_dir=img_dir,
-              image_size=(64, 64), max_objects=4, seed=0)
+              image_size=(32, 32), max_objects=6, seed=0)
     a = VgSceneGraphDataset(decoder="pil", **kw)
     b = VgSceneGraphDataset(decoder="native", **kw)
-    for i in range(n):
-        np.testing.assert_array_equal(a._decode_invariant(i)["image"],
-                                      b._decode_invariant(i)["image"])
-        assert (a._decode_invariant(i)["size"]
-                == b._decode_invariant(i)["size"])
+    for i in range(len(a)):
+        sa, sb = a.getitem_at_epoch(i, 0), b.getitem_at_epoch(i, 0)
+        for k in sa:
+            np.testing.assert_array_equal(np.asarray(sa[k]),
+                                          np.asarray(sb[k]), err_msg=k)
 
 
 def test_coco_dataset_native_equals_pil(tmp_path):
