@@ -162,6 +162,27 @@ def test_engine_batch_bucketing(tmp_path, torch04_semantics):
                                np.asarray(out3["imgs"][0]), atol=1e-5)
 
 
+def test_engine_object_pad_invariance(tmp_path, torch04_semantics):
+    """The OBJECT/TRIPLE pad dimension must not leak into outputs: the
+    same graphs padded to different O/T buckets (pad_align 4 vs 16)
+    render identical images (masked GCN pooling, masked layout compose,
+    per-row heads — SURVEY hard-part #2 at full-generator level)."""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    small = InferenceEngine.from_torch_checkpoint(ckpt_path, pad_align=4)
+    big = InferenceEngine.from_torch_checkpoint(ckpt_path, pad_align=16)
+    imgs_s, out_s = small.generate(SCENE_GRAPHS, noise="zeros")
+    imgs_b, out_b = big.generate(SCENE_GRAPHS, noise="zeros")
+    # Different padded shapes actually exercised:
+    assert out_s["boxes"].shape[1] != out_b["boxes"].shape[1]
+    np.testing.assert_allclose(np.asarray(out_s["imgs"]),
+                               np.asarray(out_b["imgs"]), atol=2e-5)
+    n_real = [len(sg["objects"]) + 1 for sg in SCENE_GRAPHS]
+    for i, n in enumerate(n_real):
+        np.testing.assert_allclose(np.asarray(out_s["boxes"][i][:n]),
+                                   np.asarray(out_b["boxes"][i][:n]),
+                                   atol=2e-5)
+
+
 def test_engine_warmup_precompiles_buckets(tmp_path, torch04_semantics):
     """warmup() compiles the serving program per batch bucket; later
     requests landing in a warmed bucket reuse the cached executable
