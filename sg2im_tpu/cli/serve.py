@@ -9,6 +9,10 @@ then serve requests from the cached executables.
 Endpoints (stdlib ``http.server``; no extra dependencies):
 
   GET  /healthz    -> {"status": "ok", model/vocab/bucket info}
+  GET  /metrics    -> Prometheus text exposition (request/image/error
+                   counters + request-latency histogram); append
+                   ``?format=json`` for a JSON view with computed
+                   p50/p90/p99 quantiles
   POST /generate   body {"scene_graphs": [...same JSON schema as
                    scene_graphs/*.json...], "noise": "random"|"zeros",
                    "seed": int, "return": "png"|"npy"}
@@ -121,6 +125,74 @@ def _png_bytes(img_u8: np.ndarray) -> bytes:
     buf = io.BytesIO()
     Image.fromarray(img_u8).save(buf, format="PNG")
     return buf.getvalue()
+
+
+class _LatencyHistogram:
+    """Thread-safe fixed-bucket latency histogram (milliseconds).
+
+    Log2-spaced upper bounds from 1 ms to ~131 s cover everything from a
+    warm cached-executable hit to a cold first-bucket compile.  Quantiles
+    are estimated by linear interpolation inside the winning bucket
+    (exact min/max are tracked separately), which is the standard
+    Prometheus ``histogram_quantile`` estimator — good to within one
+    bucket's width, with no per-request allocation or unbounded memory.
+    """
+
+    BOUNDS = tuple(float(2 ** i) for i in range(18))  # 1ms .. 131072ms
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counts = [0] * (len(self.BOUNDS) + 1)  # +overflow
+        self.count = 0
+        self.sum_ms = 0.0
+        self.min_ms = float("inf")
+        self.max_ms = 0.0
+
+    def observe(self, ms: float):
+        i = 0
+        while i < len(self.BOUNDS) and ms > self.BOUNDS[i]:
+            i += 1
+        with self._lock:
+            self._counts[i] += 1
+            self.count += 1
+            self.sum_ms += ms
+            self.min_ms = min(self.min_ms, ms)
+            self.max_ms = max(self.max_ms, ms)
+
+    def snapshot(self):
+        with self._lock:
+            return (list(self._counts), self.count, self.sum_ms,
+                    self.min_ms, self.max_ms)
+
+    def quantile(self, q: float, counts=None, total=None) -> float:
+        """Interpolated q-quantile in ms (0 when empty)."""
+        if counts is None:
+            counts, total, _, _, _ = self.snapshot()
+        if not total:
+            return 0.0
+        rank = q * total
+        seen = 0.0
+        for i, c in enumerate(counts):
+            if seen + c >= rank and c > 0:
+                lo = self.BOUNDS[i - 1] if i > 0 else 0.0
+                hi = (self.BOUNDS[i] if i < len(self.BOUNDS)
+                      else self.max_ms)
+                frac = (rank - seen) / c
+                return min(lo + frac * (hi - lo), self.max_ms)
+            seen += c
+        return self.max_ms
+
+    def to_json(self):
+        counts, total, sum_ms, mn, mx = self.snapshot()
+        return {
+            "count": total,
+            "mean_ms": round(sum_ms / total, 3) if total else 0.0,
+            "min_ms": round(mn, 3) if total else 0.0,
+            "max_ms": round(mx, 3),
+            "p50_ms": round(self.quantile(0.5, counts, total), 3),
+            "p90_ms": round(self.quantile(0.9, counts, total), 3),
+            "p99_ms": round(self.quantile(0.99, counts, total), 3),
+        }
 
 
 class _Request:
@@ -296,6 +368,8 @@ class _State:
         self._stats_lock = threading.Lock()
         self.requests = 0
         self.images = 0
+        self.latency = _LatencyHistogram()
+        self.errors = {"400": 0, "404": 0, "500": 0}
         # Per-request seed stream for unpinned 'random' noise; starts at
         # a process-random offset so restarts don't replay the stream.
         import random
@@ -312,6 +386,53 @@ class _State:
             self.requests += 1
             self.images += n_images
 
+    def count_error(self, code: int):
+        with self._stats_lock:
+            key = str(code)
+            self.errors[key] = self.errors.get(key, 0) + 1
+
+    def prometheus_text(self) -> str:
+        """Prometheus 0.0.4 text exposition of the serving counters."""
+        counts, total, sum_ms, _, _ = self.latency.snapshot()
+        lines = [
+            "# HELP sg2im_requests_total Served /generate requests.",
+            "# TYPE sg2im_requests_total counter",
+            f"sg2im_requests_total {self.requests}",
+            "# HELP sg2im_images_total Images generated.",
+            "# TYPE sg2im_images_total counter",
+            f"sg2im_images_total {self.images}",
+            "# HELP sg2im_engine_calls_total Device program launches.",
+            "# TYPE sg2im_engine_calls_total counter",
+            f"sg2im_engine_calls_total {self.batcher.engine_calls}",
+            "# HELP sg2im_batched_requests_total Requests served by a "
+            "coalesced device call.",
+            "# TYPE sg2im_batched_requests_total counter",
+            f"sg2im_batched_requests_total "
+            f"{self.batcher.batched_requests}",
+            "# HELP sg2im_errors_total Error responses by HTTP code.",
+            "# TYPE sg2im_errors_total counter",
+        ]
+        for code in sorted(self.errors):
+            lines.append(
+                f'sg2im_errors_total{{code="{code}"}} '
+                f"{self.errors[code]}")
+        lines += [
+            "# HELP sg2im_request_latency_ms End-to-end /generate "
+            "latency (request receipt to response build).",
+            "# TYPE sg2im_request_latency_ms histogram",
+        ]
+        cum = 0
+        for bound, c in zip(self.latency.BOUNDS, counts):
+            cum += c
+            lines.append(
+                f'sg2im_request_latency_ms_bucket{{le="{bound:g}"}} '
+                f"{cum}")
+        lines.append(
+            f'sg2im_request_latency_ms_bucket{{le="+Inf"}} {total}')
+        lines.append(f"sg2im_request_latency_ms_sum {sum_ms:.3f}")
+        lines.append(f"sg2im_request_latency_ms_count {total}")
+        return "\n".join(lines) + "\n"
+
 
 def make_handler(state: _State):
     class Handler(BaseHTTPRequestHandler):
@@ -320,6 +441,8 @@ def make_handler(state: _State):
             pass
 
         def _reply(self, code: int, payload: dict):
+            if code >= 400:
+                state.count_error(code)
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -327,8 +450,31 @@ def make_handler(state: _State):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_text(self, code: int, text: str):
+            body = text.encode()
+            self.send_response(code)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
-            if self.path.split("?")[0].rstrip("/") not in ("/healthz", ""):
+            path, _, query = self.path.partition("?")
+            path = path.rstrip("/")
+            if path == "/metrics":
+                if "format=json" in query:
+                    return self._reply(200, {
+                        "requests": state.requests,
+                        "images": state.images,
+                        "engine_calls": state.batcher.engine_calls,
+                        "batched_requests":
+                            state.batcher.batched_requests,
+                        "errors": dict(state.errors),
+                        "request_latency_ms": state.latency.to_json(),
+                    })
+                return self._reply_text(200, state.prometheus_text())
+            if path not in ("/healthz", ""):
                 return self._reply(404, {"error": "unknown path"})
             e = state.engine
             return self._reply(200, {
@@ -384,6 +530,7 @@ def make_handler(state: _State):
             except Exception as err:  # noqa: BLE001 -- surface to client
                 return self._reply(500, {"error": repr(err)})
             latency_ms = (time.perf_counter() - t0) * 1000.0
+            state.latency.observe(latency_ms)
 
             if fmt == "png":
                 payload_imgs = [

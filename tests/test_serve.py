@@ -345,6 +345,59 @@ def test_build_engine_flag_mapping(tmp_path):
     assert engine.deprocess_on_device is True
 
 
+def test_latency_histogram_quantiles():
+    """Unit-level: interpolated quantiles land in the right bucket and
+    min/max/sum/count are exact."""
+    from sg2im_tpu.cli.serve import _LatencyHistogram
+
+    h = _LatencyHistogram()
+    assert h.to_json()["count"] == 0 and h.quantile(0.5) == 0.0
+    for ms in [3.0] * 50 + [10.0] * 40 + [100.0] * 9 + [5000.0]:
+        h.observe(ms)
+    j = h.to_json()
+    assert j["count"] == 100
+    assert j["min_ms"] == 3.0 and j["max_ms"] == 5000.0
+    assert abs(j["mean_ms"] - (150 + 400 + 900 + 5000) / 100) < 1e-6
+    # p50 falls in the (2,4] bucket, p90 in (8,16], p99 in (64,128]
+    assert 2.0 < j["p50_ms"] <= 4.0
+    assert 8.0 < j["p90_ms"] <= 16.0
+    assert 64.0 < j["p99_ms"] <= 128.0
+    # quantiles never exceed the observed max
+    assert h.quantile(1.0) <= 5000.0
+
+
+def test_metrics_endpoint(server):
+    # generate once so the histogram is non-empty, and provoke a 400
+    _post(server, {"scene_graphs": [SG], "noise": "zeros"})
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server, {"scene_graphs": []})
+
+    with urllib.request.urlopen(server + "/metrics?format=json",
+                                timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 1 and m["images"] >= m["requests"]
+    assert m["errors"]["400"] >= 1
+    lat = m["request_latency_ms"]
+    assert lat["count"] >= 1
+    assert 0 < lat["p50_ms"] <= lat["p99_ms"] <= lat["max_ms"]
+
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert f"sg2im_requests_total {m['requests']}" in text or \
+        "sg2im_requests_total" in text  # counters may advance between GETs
+    assert 'sg2im_request_latency_ms_bucket{le="+Inf"}' in text
+    assert 'sg2im_errors_total{code="400"}' in text
+    # cumulative buckets are monotone and end at the count
+    cums = [int(line.rsplit(" ", 1)[1]) for line in text.splitlines()
+            if line.startswith("sg2im_request_latency_ms_bucket")]
+    assert cums == sorted(cums)
+    count = int([line for line in text.splitlines()
+                 if line.startswith("sg2im_request_latency_ms_count")
+                 ][0].rsplit(" ", 1)[1])
+    assert cums[-1] == count >= 1
+
+
 def test_concurrent_clients(server):
     results, errs = [], []
 
