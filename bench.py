@@ -46,11 +46,10 @@ from sg2im_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 
-def flagship_setup(batch: int = 32):
-    import jax
+def flagship_config():
+    """(vocab, model_kwargs) for the flagship vg128-scale benchmark model,
+    honoring the BENCH_* env mode knobs."""
     import jax.numpy as jnp
-
-    from sg2im_tpu.models import Sg2ImGenerator
 
     num_objs, num_preds = 179, 46
     vocab = {
@@ -82,6 +81,18 @@ def flagship_setup(batch: int = 32):
     dp = os.environ.get("BENCH_DENSE_PRECISION", "high")
     if dp and dp != "highest":
         model_kwargs["dense_precision"] = dp
+    return vocab, model_kwargs
+
+
+def flagship_setup(batch: int = 32):
+    import jax
+    import jax.numpy as jnp
+
+    from sg2im_tpu.models import Sg2ImGenerator
+
+    num_objs = 179
+    vocab, model_kwargs = flagship_config()
+    num_preds = len(vocab["pred_idx_to_name"])
     gen = Sg2ImGenerator(vocab=vocab, **model_kwargs)
 
     N, O, T = batch, 16, 32
@@ -347,6 +358,32 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"WARNING: fast-train extra failed: {e!r}",
                   file=sys.stderr)
+        try:
+            # Serving 'random'-noise path: the InferenceEngine's seeded
+            # in-program draw (noise generated inside the XLA program,
+            # fused into its bf16 consumer — bit-identical to an eager
+            # normal() upload per test_engine_seeded_noise_matches_
+            # explicit, one dispatch and one 268 MB HBM round trip
+            # cheaper).  This is what a production server actually runs
+            # per request; the primary metric above times the forward
+            # with the noise pinned as an input.
+            from sg2im_tpu.data.batching import GraphBatch
+            from sg2im_tpu.inference import InferenceEngine
+
+            vocab_f, mk = flagship_config()
+            engine = InferenceEngine(vocab_f, mk, args[0])
+            gb = GraphBatch(objs=args[1], triples=args[2],
+                            obj_mask=args[3], triple_mask=args[4])
+            float(engine.generate_batch(gb, seed=0)["imgs"].sum())
+            float(engine.generate_batch(gb, seed=1)["imgs"].sum())
+            t0 = time.perf_counter()
+            for i in range(iters):
+                outs = engine.generate_batch(gb, seed=i + 2)
+            float(outs["imgs"].sum())
+            dts = (time.perf_counter() - t0) / iters
+            extras["serve_img_s_random"] = round(batch / dts, 1)
+        except Exception as e:  # pragma: no cover
+            print(f"WARNING: serve extra failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "vg128_inference_throughput",

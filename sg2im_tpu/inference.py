@@ -94,23 +94,47 @@ class InferenceEngine:
 
     # -- compiled forward --------------------------------------------------
 
+    def _apply(self, variables, objs, triples, obj_mask, triple_mask,
+               noise):
+        out = self.model.apply(
+            variables, objs, triples, obj_mask, triple_mask,
+            train=False, layout_noise=noise,
+        )
+        if self.deprocess_on_device:
+            from sg2im_tpu.data.transforms import (
+                imagenet_deprocess_batch_jnp)
+
+            return out + (imagenet_deprocess_batch_jnp(out[0]),)
+        return out
+
     @functools.cached_property
     def _fwd(self):
         """One jitted forward; jax.jit caches compilations per input shape."""
+        return jax.jit(self._apply)
 
-        emit_u8 = self.deprocess_on_device
+    @functools.cached_property
+    def _fwd_seeded(self):
+        """Forward with the layout noise drawn INSIDE the program.
 
-        def fwd(variables, objs, triples, obj_mask, triple_mask, noise):
-            out = self.model.apply(
-                variables, objs, triples, obj_mask, triple_mask,
-                train=False, layout_noise=noise,
-            )
-            if emit_u8:
-                from sg2im_tpu.data.transforms import (
-                    imagenet_deprocess_batch_jnp)
+        Same threefry bits as the eager ``jax.random.normal(PRNGKey(seed),
+        ...)`` the explicit-noise path would pass in (tracing does not
+        change PRNG output; pinned by
+        test_engine_seeded_noise_matches_explicit), with one device
+        program instead of two per request.  Measured at vg128/b128 on
+        v5e: throughput-neutral vs a device-resident eager draw (32.1 vs
+        32.1 ms — the separate dispatch overlaps; scripts/
+        profile_seeded_noise.py), but structurally immune to the
+        explicit-array path's host round-trip hazard and the natural
+        single-call serving API.  Used when :meth:`generate_batch` gets
+        ``noise=None`` — the serving default for 'random' noise."""
+        noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
+        H, W = self.model_kwargs.get("image_size", (64, 64))
 
-                return out + (imagenet_deprocess_batch_jnp(out[0]),)
-            return out
+        def fwd(variables, objs, triples, obj_mask, triple_mask, key):
+            noise = jax.random.normal(
+                key, (objs.shape[0], H, W, noise_dim), dtype=jnp.float32)
+            return self._apply(variables, objs, triples, obj_mask,
+                               triple_mask, noise)
 
         return jax.jit(fwd)
 
@@ -131,13 +155,20 @@ class InferenceEngine:
         noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
         H, W = self.model_kwargs.get("image_size", (64, 64))
         noise_arr = None
+        seeded = False
         if noise_dim > 0:
             if noise is None:
-                noise_arr = jax.random.normal(
-                    jax.random.PRNGKey(seed), (N, H, W, noise_dim),
-                    dtype=jnp.float32)
+                # Draw in-program (see _fwd_seeded): bit-identical to an
+                # eager normal(PRNGKey(seed), ...), one dispatch cheaper.
+                seeded = True
             elif isinstance(noise, str) and noise == "zeros":
                 noise_arr = jnp.zeros((N, H, W, noise_dim), jnp.float32)
+            elif isinstance(noise, jax.Array) and noise.shape[0] == N:
+                # Already device-resident at the right batch: use as-is.
+                # (np.asarray here would force a full D2H+H2D round trip
+                # of the widest activation-sized tensor — 22 s at
+                # vg128/b128 through this container's tunnel.)
+                noise_arr = noise.astype(jnp.float32)
             else:
                 noise_np = np.asarray(noise, np.float32)
                 if noise_np.shape[0] < N:  # batch was bucket-padded
@@ -153,7 +184,16 @@ class InferenceEngine:
             arrays = tuple(jax.device_put(a, sh) for a in arrays)
             if noise_arr is not None:
                 noise_arr = jax.device_put(noise_arr, sh)
-        out = self._fwd(self.variables, *arrays, noise_arr)
+        if seeded:
+            # Partitionable threefry (the JAX default) makes the drawn
+            # values independent of how GSPMD shards the generation, so
+            # the mesh path agrees with single-device bit-for-bit.  The
+            # key is built eagerly (two uint32s) so its derivation is the
+            # byte-identical PRNGKey the explicit path would use.
+            out = self._fwd_seeded(self.variables, *arrays,
+                                   jax.random.PRNGKey(seed))
+        else:
+            out = self._fwd(self.variables, *arrays, noise_arr)
         imgs, boxes, masks, rel_scores = out[:4]
         result = {"imgs": imgs, "boxes": boxes, "masks": masks,
                   "rel_scores": rel_scores}
@@ -176,12 +216,18 @@ class InferenceEngine:
         Returns the list of padded (N, O, T) bucket shapes compiled.
         """
         sg = scene_graph or {"objects": [], "relationships": []}
+        noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
         shapes = []
         for n in batch_sizes:
             batch = encode_scene_graphs([sg] * n, self.vocab,
                                         align=self.pad_align)
             self.generate([sg] * n, noise="zeros", seed=seed,
                           deprocess=False)
+            if noise_dim > 0:
+                # Also warm the seeded (in-program noise) variant — the
+                # runtime path for 'random' requests.
+                self.generate([sg] * n, noise=None, seed=seed,
+                              deprocess=False)
             n_pad = max(1, 1 << (n - 1).bit_length())
             if self.mesh is not None:
                 d = self.mesh.shape["data"]

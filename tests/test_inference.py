@@ -227,6 +227,52 @@ def test_engine_sharded_generation(tmp_path, torch04_semantics):
                                atol=1)
 
 
+def test_engine_seeded_noise_matches_explicit(tmp_path, torch04_semantics):
+    """noise=None draws the layout noise INSIDE the jitted program
+    (_fwd_seeded) — it must be bit-identical to explicitly uploading
+    jax.random.normal(PRNGKey(seed), ...) (the pre-round-3 eager path and
+    the serve batcher's merged-noise contract)."""
+    import jax
+
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    engine = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    H, W = engine.model_kwargs["image_size"]
+    nd = engine.model_kwargs["layout_noise_dim"]
+    # two graphs -> bucket n_pad == 2 == n_real, so the explicit draw
+    # covers exactly the rows the in-program draw generates
+    sgs = SCENE_GRAPHS[:2]
+    assert len(sgs) == 2
+    for seed in (0, 7, (1 << 31) - 1):
+        explicit = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(seed), (2, H, W, nd), dtype=np.float32))
+        _, out_e = engine.generate(sgs, noise=explicit)
+        _, out_s = engine.generate(sgs, noise=None, seed=seed)
+        np.testing.assert_array_equal(np.asarray(out_s["imgs"]),
+                                      np.asarray(out_e["imgs"]))
+    # different seeds actually change the output
+    _, a = engine.generate(sgs, noise=None, seed=0)
+    _, b = engine.generate(sgs, noise=None, seed=7)
+    assert np.abs(np.asarray(a["imgs"]) - np.asarray(b["imgs"])).max() > 0
+
+
+def test_engine_seeded_noise_sharded_matches_single(tmp_path,
+                                                    torch04_semantics):
+    """In-program noise under the 8-way data mesh: partitionable threefry
+    makes the draw sharding-invariant, so mesh == single-device."""
+    from sg2im_tpu.parallel.mesh import make_mesh
+
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    single = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    sharded = InferenceEngine.from_torch_checkpoint(
+        ckpt_path, mesh=make_mesh(n_data=8))
+    # 8 graphs -> n_pad 8 == mesh size (every device holds a real row)
+    sgs = (SCENE_GRAPHS * 4)[:8]
+    want, w_out = single.generate(sgs, noise=None, seed=3)
+    got, g_out = sharded.generate(sgs, noise=None, seed=3)
+    np.testing.assert_allclose(np.asarray(g_out["imgs"]),
+                               np.asarray(w_out["imgs"]), atol=2e-5)
+
+
 def test_engine_deprocess_on_device(tmp_path, torch04_semantics):
     """deprocess_on_device folds denorm + per-image rescale + uint8 into
     the serving program; the fetched uint8 matches the host deprocess
