@@ -255,6 +255,22 @@ def test_engine_seeded_noise_matches_explicit(tmp_path, torch04_semantics):
     assert np.abs(np.asarray(a["imgs"]) - np.asarray(b["imgs"])).max() > 0
 
 
+def test_engine_seeded_noise_bucket_stable(tmp_path, torch04_semantics):
+    """A graph's seeded render must not depend on the BATCH bucket it
+    lands in: normal(key, (n_pad, ...)) row i is the same for any n_pad
+    >= i+1 (partitionable threefry, the JAX default).  This is the
+    row-stability contract the serve coalescer's pinned-seed
+    reproducibility rides on."""
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    engine = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    sg = SCENE_GRAPHS[0]
+    # bucket 1 vs bucket 4 (3 graphs pad to 4), same seed
+    _, solo = engine.generate([sg], noise=None, seed=9)
+    _, batched = engine.generate([sg] + SCENE_GRAPHS, noise=None, seed=9)
+    np.testing.assert_array_equal(np.asarray(solo["imgs"][0]),
+                                  np.asarray(batched["imgs"][0]))
+
+
 def test_engine_seeded_noise_sharded_matches_single(tmp_path,
                                                     torch04_semantics):
     """In-program noise under the 8-way data mesh: partitionable threefry
