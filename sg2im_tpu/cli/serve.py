@@ -164,10 +164,16 @@ class _LatencyHistogram:
             return (list(self._counts), self.count, self.sum_ms,
                     self.min_ms, self.max_ms)
 
-    def quantile(self, q: float, counts=None, total=None) -> float:
-        """Interpolated q-quantile in ms (0 when empty)."""
+    def quantile(self, q: float, counts=None, total=None,
+                 max_ms=None) -> float:
+        """Interpolated q-quantile in ms (0 when empty).  When given
+        snapshot counts, ``max_ms`` must be the same snapshot's max so the
+        result stays internally consistent (never above the snapshot max
+        even if another thread observes a larger latency mid-call)."""
         if counts is None:
-            counts, total, _, _, _ = self.snapshot()
+            counts, total, _, _, max_ms = self.snapshot()
+        if max_ms is None:
+            max_ms = self.max_ms
         if not total:
             return 0.0
         rank = q * total
@@ -176,11 +182,11 @@ class _LatencyHistogram:
             if seen + c >= rank and c > 0:
                 lo = self.BOUNDS[i - 1] if i > 0 else 0.0
                 hi = (self.BOUNDS[i] if i < len(self.BOUNDS)
-                      else self.max_ms)
+                      else max_ms)
                 frac = (rank - seen) / c
-                return min(lo + frac * (hi - lo), self.max_ms)
+                return min(lo + frac * (hi - lo), max_ms)
             seen += c
-        return self.max_ms
+        return max_ms
 
     def to_json(self):
         counts, total, sum_ms, mn, mx = self.snapshot()
@@ -189,9 +195,9 @@ class _LatencyHistogram:
             "mean_ms": round(sum_ms / total, 3) if total else 0.0,
             "min_ms": round(mn, 3) if total else 0.0,
             "max_ms": round(mx, 3),
-            "p50_ms": round(self.quantile(0.5, counts, total), 3),
-            "p90_ms": round(self.quantile(0.9, counts, total), 3),
-            "p99_ms": round(self.quantile(0.99, counts, total), 3),
+            "p50_ms": round(self.quantile(0.5, counts, total, mx), 3),
+            "p90_ms": round(self.quantile(0.9, counts, total, mx), 3),
+            "p99_ms": round(self.quantile(0.99, counts, total, mx), 3),
         }
 
 
@@ -391,6 +397,12 @@ class _State:
             key = str(code)
             self.errors[key] = self.errors.get(key, 0) + 1
 
+    def stats_snapshot(self):
+        """(requests, images, errors) read consistently under the same
+        lock count()/count_error() write under."""
+        with self._stats_lock:
+            return self.requests, self.images, dict(self.errors)
+
     def prometheus_text(self) -> str:
         """Prometheus 0.0.4 text exposition of the serving counters."""
         counts, total, sum_ms, _, _ = self.latency.snapshot()
@@ -463,14 +475,18 @@ def make_handler(state: _State):
             path, _, query = self.path.partition("?")
             path = path.rstrip("/")
             if path == "/metrics":
-                if "format=json" in query:
+                from urllib.parse import parse_qs
+
+                fmt = parse_qs(query).get("format", [""])[0]
+                if fmt == "json":
+                    requests, images, errors = state.stats_snapshot()
                     return self._reply(200, {
-                        "requests": state.requests,
-                        "images": state.images,
+                        "requests": requests,
+                        "images": images,
                         "engine_calls": state.batcher.engine_calls,
                         "batched_requests":
                             state.batcher.batched_requests,
-                        "errors": dict(state.errors),
+                        "errors": errors,
                         "request_latency_ms": state.latency.to_json(),
                     })
                 return self._reply_text(200, state.prometheus_text())

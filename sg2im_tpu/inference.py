@@ -57,6 +57,13 @@ class InferenceEngine:
         :meth:`generate` fetches uint8 instead of f32 — 4x less
         device->host traffic per request and the reductions run on-chip.
         Default off (host deprocess, bit-exact reference path)."""
+        # The seeded in-program noise path's reproducibility contract (same
+        # graph+seed -> same image regardless of pad bucket, coalesced
+        # batch, or mesh sharding) requires partitionable threefry.  It is
+        # the JAX default, but pin it here so library users on a config
+        # with the flag off don't silently lose the contract (serve CLI
+        # used to be the only place this was set).
+        jax.config.update("jax_threefry_partitionable", True)
         self.vocab = vocab
         self.model_kwargs = dict(model_kwargs)
         if compute_dtype is not None:
@@ -163,14 +170,29 @@ class InferenceEngine:
                 seeded = True
             elif isinstance(noise, str) and noise == "zeros":
                 noise_arr = jnp.zeros((N, H, W, noise_dim), jnp.float32)
-            elif isinstance(noise, jax.Array) and noise.shape[0] == N:
-                # Already device-resident at the right batch: use as-is.
-                # (np.asarray here would force a full D2H+H2D round trip
-                # of the widest activation-sized tensor — 22 s at
-                # vg128/b128 through this container's tunnel.)
+            elif isinstance(noise, jax.Array):
+                # Device-resident: keep it on device.  (np.asarray here
+                # would force a full D2H+H2D round trip of the widest
+                # activation-sized tensor — 22 s at vg128/b128 through
+                # this container's tunnel.)  A bucket-padded caller may
+                # hand fewer rows than the padded batch: pad on-device.
+                if noise.shape[0] > N:
+                    raise ValueError(
+                        f"noise batch {noise.shape[0]} exceeds the padded "
+                        f"graph batch {N}")
                 noise_arr = noise.astype(jnp.float32)
+                if noise.shape[0] < N:
+                    noise_arr = jnp.concatenate(
+                        [noise_arr,
+                         jnp.zeros((N - noise.shape[0],)
+                                   + noise_arr.shape[1:], jnp.float32)],
+                        axis=0)
             else:
                 noise_np = np.asarray(noise, np.float32)
+                if noise_np.shape[0] > N:
+                    raise ValueError(
+                        f"noise batch {noise_np.shape[0]} exceeds the "
+                        f"padded graph batch {N}")
                 if noise_np.shape[0] < N:  # batch was bucket-padded
                     noise_np = _pad_rows(noise_np, N)
                 noise_arr = jnp.asarray(noise_np)

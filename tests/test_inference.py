@@ -255,6 +255,30 @@ def test_engine_seeded_noise_matches_explicit(tmp_path, torch04_semantics):
     assert np.abs(np.asarray(a["imgs"]) - np.asarray(b["imgs"])).max() > 0
 
 
+def test_engine_device_noise_bucket_padding(tmp_path, torch04_semantics):
+    """A device-resident noise array from a bucket-padded caller
+    (shape[0] < padded N) must be padded ON DEVICE (same result as the
+    host-array path, no D2H round trip), and shape[0] > N must raise a
+    clear error instead of passing through into a shape failure
+    (ADVICE r3: inference.py device-array fast path)."""
+    import jax
+
+    _, ckpt_path = _make_reference_checkpoint(tmp_path)
+    engine = InferenceEngine.from_torch_checkpoint(ckpt_path)
+    H, W = engine.model_kwargs["image_size"]
+    nd = engine.model_kwargs["layout_noise_dim"]
+    sgs = [SCENE_GRAPHS[0]] * 3  # pads to bucket 4
+    noise3 = jax.random.normal(jax.random.PRNGKey(5), (3, H, W, nd),
+                               dtype=np.float32)
+    _, out_dev = engine.generate(sgs, noise=noise3)  # jax.Array, 3 < 4
+    _, out_np = engine.generate(sgs, noise=np.asarray(noise3))
+    np.testing.assert_array_equal(np.asarray(out_dev["imgs"]),
+                                  np.asarray(out_np["imgs"]))
+    for bad in (noise3[:2].repeat(3, 0), np.asarray(noise3).repeat(3, 0)):
+        with pytest.raises(ValueError, match="exceeds the padded"):
+            engine.generate(sgs, noise=bad)
+
+
 def test_engine_seeded_noise_bucket_stable(tmp_path, torch04_semantics):
     """A graph's seeded render must not depend on the BATCH bucket it
     lands in: normal(key, (n_pad, ...)) row i is the same for any n_pad
