@@ -46,11 +46,15 @@ def build_parser():
                              "the serving mode bench.py measures) vs the "
                              "default parity-grade 'highest'")
     parser.add_argument("--crn_mode", default=None,
-                        choices=["legacy", "phase", "split", "split_noise", "packed"],
+                        choices=["legacy", "split"],
                         help="CRN stage-conv formulation: 'split' (+5%% "
                              "e2e, exact up to sum reassociation — the "
                              "serving mode bench.py measures) vs the "
-                             "default reference-shaped 'legacy'")
+                             "default reference-shaped 'legacy'.  These "
+                             "are the two production modes; the measured-"
+                             "and-retired research modes (phase/"
+                             "split_noise/packed, ARCHITECTURE §7) remain "
+                             "available via the Sg2ImGenerator API only")
     parser.add_argument("--deprocess_device", type=int, default=0,
                         help="fold deprocess (denorm + rescale + uint8) "
                              "into the serving program: 4x less "

@@ -136,12 +136,14 @@ def build_parser():
                         "(+4.3%% e2e inference on v5e at 64 dB PSNR vs f32; "
                         "train-mode BN stats stay f32)")
     p.add_argument("--crn_mode", default=None,
-                   choices=["legacy", "phase", "split", "split_noise", "packed"],
+                   choices=["legacy", "split"],
                    help="CRN stage-conv formulation; 'split' avoids "
                         "materializing the per-stage concat (exact up to "
-                        "sum reassociation — the serving default); "
-                        "'legacy' (default) keeps the reference-shaped "
-                        "composition")
+                        "sum reassociation — the fast-training mode, with "
+                        "--bf16_compute); 'legacy' (default) keeps the "
+                        "reference-shaped composition.  The retired "
+                        "research modes (phase/split_noise/packed) are "
+                        "library-only (ARCHITECTURE §7)")
     p.add_argument("--async_checkpoint", default=False, type=bool_flag,
                    help="overlap checkpoint disk writes with training: "
                         "the state is materialized off the device before "

@@ -124,3 +124,26 @@ def test_v2_kernel_gradients():
     for a, b, name in zip(gp, gx, ("boxes", "masks", "vecs")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
                                    rtol=1e-4, err_msg=name)
+
+
+def test_relayout_kernels_match_crn_reference():
+    """Pallas s2d/d2s relayout kernels (interpret mode on CPU) must be
+    bit-identical to the jnp reference transforms in nn/crn.py (the
+    phase-major layout contract the packed conv kernels assume)."""
+    from sg2im_tpu.nn.crn import depth_to_space, space_to_depth
+    from sg2im_tpu.ops.pallas.relayout_kernel import (
+        depth_to_space_pallas, space_to_depth_pallas)
+
+    rng = np.random.RandomState(0)
+    for shape, dtype in (((2, 16, 16, 8), np.float32),
+                         ((1, 64, 32, 5), np.float32),
+                         ((2, 8, 8, 160), np.float32),
+                         ((2, 32, 32, 16), jnp.bfloat16)):
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
+        want = space_to_depth(x)
+        got = space_to_depth_pallas(x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want, np.float32))
+        back = depth_to_space_pallas(want, interpret=True)
+        np.testing.assert_array_equal(np.asarray(back, np.float32),
+                                      np.asarray(x, np.float32))
