@@ -4,14 +4,20 @@ Prints ONE JSON line whose primary fields are
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 plus extra driver-captured evidence fields (each skipped, not fatal, on
 failure):
-  "psnr_db_vs_reference": raw-space PSNR of the TPU serving path (bf16
-      production mode) vs the reference torch model run in-process on CPU
-      on the same vg128-scale checkpoint/inputs/noise — the reproducible
-      in-container proxy for the north-star >=40 dB pretrained gate
-      (reference README.md:78-89); methodology identical to
-      tests/test_inference.py::test_engine_psnr_vs_reference but at
+  "psnr_db_vs_reference": raw-space PSNR (max_val=1.0) of the TPU serving
+      path (bf16 production mode) vs the reference torch model run
+      in-process on CPU on the same vg128-scale checkpoint/inputs/noise —
+      the reproducible in-container proxy for the north-star >=40 dB
+      pretrained gate (reference README.md:78-89); methodology identical
+      to tests/test_inference.py::test_engine_psnr_vs_reference but at
       flagship scale.  "psnr_db_vs_reference_f32" is the same comparison
-      with f32 compute (the near-exact parity bound).
+      with f32 compute.  "psnr_u8_db_vs_reference{,_f32}" are the same
+      comparisons in deprocessed-u8 space (per-image min-max rescale to
+      [0,255]) — the metric the REAL gate uses (its goldens are
+      deprocessed PNGs), range-normalized by construction; the raw-space
+      number sits ~18 dB lower purely because the untrained proxy's
+      output range is ~0.13 (per-section attribution:
+      scripts/attrib_psnr.py, ARCHITECTURE §1).
   "train_step_ms_b32" / "train_img_s_b32" / "train_vs_baseline_b32":
       the full jitted 3-optimizer GAN train step (COCO-64 default config)
       vs the CPU train-step baseline.
@@ -263,9 +269,17 @@ def measure_psnr_vs_reference():
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "vg128_synth.pt")
         torch.save(ckpt, path)
-        # f32: the near-exact parity number (geometry/Dense at HIGHEST
-        # precision; historically 54-64 dB).  bf16: the production serving
-        # mode the throughput metric above actually runs.
+        # Two metrics per mode (scripts/attrib_psnr.py attribution, r4):
+        #   raw-space PSNR at max_val=1.0 — conservative: the untrained
+        #     proxy's output range is only ~0.13, so this number sits
+        #     ~18 dB below the range-normalized fidelity (41 dB raw ==
+        #     59 dB range-normalized at the measured 6e-3 relerr, which
+        #     enters at the deliberately-default-precision CRN convs —
+        #     NOT a section parity leak: CPU f32 e2e is 135 dB).
+        #   u8-space PSNR through the reference deprocess (per-image
+        #     min-max rescale to [0,255]) — the metric the real
+        #     north-star gate uses (golden PNGs are deprocessed u8),
+        #     range-normalized by construction.
         modes = [("psnr_db_vs_reference_f32", {})]
         if os.environ.get("BENCH_BF16", "1") not in ("0", ""):
             prod_kw = {"compute_dtype": jnp.bfloat16}
@@ -276,14 +290,21 @@ def measure_psnr_vs_reference():
             if cm and cm != "legacy":
                 prod_kw["crn_mode"] = cm
             modes.append(("psnr_db_vs_reference", prod_kw))
+        from sg2im_tpu.data.transforms import imagenet_deprocess_batch
+
+        ref_u8 = imagenet_deprocess_batch(ref_imgs)
         for field, kw in modes:
             engine = InferenceEngine.from_torch_checkpoint(path, **kw)
             _, out = engine.generate(sgs, noise="zeros")
             got = np.asarray(out["imgs"], np.float32)[:len(sgs)]
             results[field] = float(psnr(got, ref_imgs, max_val=1.0))
+            results[field.replace("psnr_db", "psnr_u8_db")] = float(
+                psnr(imagenet_deprocess_batch(got), ref_u8, max_val=255.0))
     if "psnr_db_vs_reference" not in results:  # BENCH_BF16=0: f32 IS prod
         results["psnr_db_vs_reference"] = results.pop(
             "psnr_db_vs_reference_f32")
+        results["psnr_u8_db_vs_reference"] = results.pop(
+            "psnr_u8_db_vs_reference_f32")
     return results, len(sgs)
 
 

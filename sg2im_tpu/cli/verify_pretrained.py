@@ -52,6 +52,16 @@ def build_parser():
     p.add_argument("--reference_repo", default="/root/reference",
                    help="Path to the google/sg2im checkout")
     p.add_argument("--min_psnr", type=float, default=40.0)
+    p.add_argument("--conv_precision", default="default",
+                   choices=["default", "high", "highest"],
+                   help="Raise the DEFAULT matmul/conv precision for the "
+                        "gate run (the geometry/Dense layers are pinned "
+                        "HIGHEST regardless).  TPU f32 convs multiply in "
+                        "bf16 by default — the dominant fidelity term at "
+                        "flagship scale (~5e-3 relerr through the CRN, "
+                        "scripts/attrib_psnr.py).  'highest' recovers "
+                        "near-exact parity at ~3-6x conv time — "
+                        "irrelevant for a one-shot verification.")
     return p
 
 
@@ -114,6 +124,11 @@ def main(args=None):
     from sg2im_tpu.utils.metrics import psnr
 
     enable_compile_cache()
+    if args.conv_precision != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision",
+                          args.conv_precision)
 
     scene_graphs, spans = _load_graphs(args.scene_graphs_json)
     engine = InferenceEngine.from_torch_checkpoint(args.checkpoint)
