@@ -48,3 +48,58 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 4, "model": 2}
     mesh = make_mesh()
     assert mesh.shape["data"] == 8
+
+
+def test_model_axis_train_step_matches_data_only():
+    """Exercise the 'model' mesh axis (VERDICT r3 #4): a 4x2 mesh
+    (n_model=2) must produce BIT-IDENTICAL train-step results to a 4x1
+    data-only mesh — params/grads are replicated over 'model' and the
+    batch sharding (hence the all-reduce grouping) is the same, so the
+    axis being live changes nothing numerically.  Guards against any
+    sharding rule silently assuming the axis is trivial."""
+    assert len(jax.devices()) == 8, jax.devices()
+    config = TrainConfig(**dict(TINY, batch_size=8))
+    rng = np.random.RandomState(1)
+    batch = _rand_batch(rng, config)
+
+    t_d4 = Trainer(config, VOCAB, mesh=make_mesh(n_data=4))
+    s4 = t_d4.init_state(seed=0)
+    s4, m4 = t_d4.step(s4, dict(batch))
+
+    t_42 = Trainer(config, VOCAB, mesh=make_mesh(n_data=4, n_model=2))
+    s42 = t_42.init_state(seed=0)
+    s42, m42 = t_42.step(s42, dict(batch))
+
+    for k in m4:
+        np.testing.assert_array_equal(
+            np.asarray(m4[k]), np.asarray(m42[k]),
+            err_msg=f"metric {k} changed when the model axis went live")
+    for a, b in zip(jax.tree.leaves(s4.g_vars), jax.tree.leaves(s42.g_vars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s4.d_obj_vars),
+                    jax.tree.leaves(s42.d_obj_vars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_model_axis_engine_generation_matches_data_only():
+    """Mesh-sharded serving with a live 'model' axis: 4x2 == 4x1 bit-for-
+    bit (engine params replicated over both axes, batch sharded on
+    'data')."""
+    from sg2im_tpu.inference import InferenceEngine
+
+    config = TrainConfig(**dict(TINY, batch_size=8))
+    trainer = Trainer(config, VOCAB, mesh=False)
+    trainer.mesh = None
+    state = trainer.init_state(seed=0)
+    g_vars = jax.device_get(state.g_vars)
+    sg = {"objects": ["cat", "dog"], "relationships": [[0, "left of", 1]]}
+
+    outs = {}
+    for name, mesh in (("d4", make_mesh(n_data=4)),
+                       ("m42", make_mesh(n_data=4, n_model=2))):
+        engine = InferenceEngine(VOCAB, config.generator_kwargs(), g_vars,
+                                 mesh=mesh)
+        imgs, out = engine.generate([sg] * 4, noise=None, seed=3)
+        outs[name] = (imgs, np.asarray(out["imgs"]))
+    np.testing.assert_array_equal(outs["d4"][0], outs["m42"][0])
+    np.testing.assert_array_equal(outs["d4"][1], outs["m42"][1])
