@@ -93,10 +93,18 @@ def main():
     print(f"cached read    (1 thread): {c_ms:6.3f} ms/img "
           f"= {c_ips:7.0f} img/s  ({raw_ms / c_ms:.1f}x raw)")
 
-    for name, ds, workers in (("cached", cached_ds, 1),
-                              ("raw", raw_ds, 1)):
+    rows = [("cached", cached_ds, 1, False), ("raw", raw_ds, 1, False)]
+    if resolve_decoder("native") == "native":
+        nat = CocoSceneGraphDataset(decoder="native", **kwargs)
+        # batch_decode: one GIL-free C++ pool call per batch vs per-sample
+        # threaded decode (VERDICT r3 #7 — the variant must be >= the
+        # threaded path at 1 core).
+        rows += [("nat/sample", nat, 1, False), ("nat/batch", nat, 1, True),
+                 ("nat/sample4", nat, 4, False), ("nat/batch4", nat, 4, True)]
+    for name, ds, workers, bd in rows:
         loader = PaddedLoader(ds, batch_size=args.batch_size, O_max=16,
-                              T_max=16, num_workers=workers, seed=0)
+                              T_max=16, num_workers=workers, seed=0,
+                              batch_decode=bd)
         it = iter(loader)
         next(it)  # warm the pool
         t0 = time.perf_counter()

@@ -227,13 +227,36 @@ class CocoSceneGraphDataset:
                             self.image_id_to_filename[image_id])
         return load_image_u8(path, self.image_size, self.decoder)
 
-    def _decode_invariant(self, index):
+    def decode_images_batch(self, indices, n_threads=None):
+        """Batched GIL-free native decode of the samples' images (the
+        loader's ``batch_decode`` fast path: ONE C++ thread-pool call per
+        batch instead of per-sample Python dispatch).  Returns a list
+        aligned with ``indices`` of ``(image_u8, (WW, HH))`` with ``None``
+        entries for per-sample fallback, or ``None`` when inapplicable
+        (decoded cache ready — it already skips decode — or the native
+        decoder unavailable)."""
+        if self._cache is not None and self._cache.ready:
+            return None
+        from sg2im_tpu.data.decode import batch_decode_files
+
+        paths = [os.path.join(self.image_dir,
+                              self.image_id_to_filename[self.image_ids[i]])
+                 for i in indices]
+        return batch_decode_files(paths, self.image_size, self.decoder,
+                                  n_threads=n_threads)
+
+    def _decode_invariant(self, index, image=None):
         """The epoch-invariant (cacheable) part of a sample: resized uint8
         image + per-object categories / normalized boxes / MxM masks,
         incl. the trailing ``__image__`` node.  The per-epoch heuristic
-        triples are synthesized later from these tensors."""
+        triples are synthesized later from these tensors.  ``image``:
+        optional pre-decoded ``(image_u8, (WW, HH))`` from
+        :meth:`decode_images_batch`."""
         image_id = self.image_ids[index]
-        image_u8, WW, HH = self._load_image_u8(image_id)
+        if image is not None:
+            image_u8, (WW, HH) = image
+        else:
+            image_u8, WW, HH = self._load_image_u8(image_id)
 
         from sg2im_tpu.data.decode import resize_u8
 
@@ -286,18 +309,20 @@ class CocoSceneGraphDataset:
     def __getitem__(self, index):
         return self.getitem_at_epoch(index, self._epoch)
 
-    def getitem_at_epoch(self, index, epoch: int):
+    def getitem_at_epoch(self, index, epoch: int, image=None):
         """Returns dict(image (H,W,3), objs (O,), boxes (O,4),
         masks (O,M,M), triples (T,3)) — same content as the reference's
         tuple (``coco.py:232-359``) in NHWC numpy form.  ``epoch`` selects
         the per-sample RNG stream explicitly (thread-safe; loaders bind it
-        per iterator)."""
+        per iterator).  ``image``: optional pre-decoded ``(image_u8,
+        (WW, HH))`` from :meth:`decode_images_batch` (byte-identical to
+        the in-sample decode)."""
         if self._cache is not None and self._cache.ready:
             c = self._cache.get(index)
             image_u8 = c["image_u8"]
             objs, boxes, masks = c["objs"], c["boxes"], c["masks"]
         else:
-            inv = self._decode_invariant(index)
+            inv = self._decode_invariant(index, image=image)
             image_u8 = inv["image"]
             objs, boxes, masks = inv["objs"], inv["boxes"], inv["masks"]
 

@@ -68,6 +68,36 @@ def resize_u8(arr: np.ndarray, size, decoder: str = "pil") -> np.ndarray:
         np.uint8)
 
 
+def batch_decode_files(paths, size, decoder: str, n_threads=None):
+    """Batched GIL-free decode of image files via the C++ thread pool
+    (``native/imagedec.cpp``: one call decodes+resizes the whole batch).
+
+    Returns a list aligned with ``paths`` of ``(img_u8 (H, W, 3),
+    (orig_w, orig_h))`` with ``None`` entries where the native decoder
+    failed (CMYK/exotic/corrupt — caller falls back per-sample), or
+    ``None`` when batching is inapplicable on this host/decoder (PIL
+    requested or the native library unavailable).  Bytes are identical to
+    the per-sample path: same decoder, same resampler.
+    """
+    dec = resolve_decoder(decoder)
+    if dec == "pil":
+        return None
+    from sg2im_tpu.native import imagedec
+
+    datas = []
+    for p in paths:
+        with open(p, "rb") as f:
+            datas.append(f.read())
+    r = imagedec.decode_resize_batch(datas, size,
+                                     fast=(dec == "native_fast"),
+                                     n_threads=n_threads)
+    if r is None:
+        return None
+    imgs, orig_wh, ok = r
+    return [(imgs[j], (int(orig_wh[j, 0]), int(orig_wh[j, 1])))
+            if ok[j] else None for j in range(len(paths))]
+
+
 def load_image_u8(path: str, size, decoder: str = "pil"):
     """Decode ``path`` and resize to ``size`` (H, W).
 

@@ -99,10 +99,18 @@ class PaddedLoader:
     def __init__(self, dataset, batch_size: int, O_max: int, T_max: int,
                  shuffle: bool = True, num_workers: int = 4,
                  prefetch: int = 4, seed: int = 0, drop_last: bool = True,
-                 shard: tuple[int, int] | None = None):
+                 shard: tuple[int, int] | None = None,
+                 batch_decode: bool = True):
         """``shard=(host_index, host_count)`` gives each host a disjoint
         1/host_count slice of every epoch's permutation — the multi-host
-        data-parallel contract (all hosts share the shuffle seed)."""
+        data-parallel contract (all hosts share the shuffle seed).
+
+        ``batch_decode``: when the dataset exposes ``decode_images_batch``
+        (COCO/VG), decode each batch's images in ONE GIL-free C++
+        thread-pool call (``native/imagedec.cpp``) instead of per-sample
+        inside the Python worker threads — same bytes, less GIL traffic.
+        Automatically inapplicable (and skipped) when a decoded-sample
+        cache is active or the native decoder is unavailable."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.O_max = O_max
@@ -115,6 +123,7 @@ class PaddedLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.shard = shard
+        self.batch_decode = batch_decode
         self._epoch = 0
 
     def _shard_slice(self, idx):
@@ -157,7 +166,9 @@ class PaddedLoader:
         # dataset state: a mid-epoch eval sweep spawning a second iterator
         # must not perturb the live train iterator's in-flight samples.
         if hasattr(self.dataset, "getitem_at_epoch"):
-            def fetch(i, _e=epoch):
+            def fetch(i, _e=epoch, image=None):
+                if image is not None:
+                    return self.dataset.getitem_at_epoch(i, _e, image=image)
                 return self.dataset.getitem_at_epoch(i, _e)
         else:
             set_epoch = getattr(self.dataset, "set_epoch", None)
@@ -178,13 +189,30 @@ class PaddedLoader:
                     continue
             return False
 
+        decode_batch = (getattr(self.dataset, "decode_images_batch", None)
+                        if (self.batch_decode
+                            and hasattr(self.dataset, "getitem_at_epoch"))
+                        else None)
+
         def producer():
+            nonlocal decode_batch
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in self._index_batches(epoch):
                         if stop.is_set():
                             return
-                        samples = list(pool.map(fetch, batch_idx))
+                        images = None
+                        if decode_batch is not None:
+                            images = decode_batch(
+                                batch_idx, n_threads=self.num_workers)
+                            if images is None:  # inapplicable: stop asking
+                                decode_batch = None
+                        if images is None:
+                            samples = list(pool.map(fetch, batch_idx))
+                        else:
+                            samples = list(pool.map(fetch, batch_idx,
+                                                    [epoch] * len(batch_idx),
+                                                    images))
                         if not put_or_stop(collate_padded(
                                 samples, self.O_max, self.T_max)):
                             return

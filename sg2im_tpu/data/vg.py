@@ -85,7 +85,21 @@ class VgSceneGraphDataset:
                 cache.build(n, self._decode_invariant)
             self._cache = cache
 
-    def _decode_invariant(self, index):
+    def decode_images_batch(self, indices, n_threads=None):
+        """Batched GIL-free native decode (loader ``batch_decode`` fast
+        path; see the COCO dataset's docstring)."""
+        if self._cache is not None and self._cache.ready:
+            return None
+        from sg2im_tpu.data.decode import batch_decode_files
+
+        paths = [os.path.join(self.image_dir, self.image_paths[i])
+                 for i in indices]
+        return batch_decode_files(paths, self.image_size, self.decoder,
+                                  n_threads=n_threads)
+
+    def _decode_invariant(self, index, image=None):
+        if image is not None:
+            return {"image": image[0], "size": tuple(image[1])}
         from sg2im_tpu.data.decode import load_image_u8
 
         img_path = os.path.join(self.image_dir, self.image_paths[index])
@@ -106,12 +120,14 @@ class VgSceneGraphDataset:
     def __getitem__(self, index):
         return self.getitem_at_epoch(index, self._epoch)
 
-    def getitem_at_epoch(self, index, epoch: int):
+    def getitem_at_epoch(self, index, epoch: int, image=None):
+        """``image``: optional pre-decoded ``(image_u8, (WW, HH))`` from
+        :meth:`decode_images_batch` (byte-identical to in-sample decode)."""
         if self._cache is not None and self._cache.ready:
             c = self._cache.get(index)
             arr_u8, (WW, HH) = c["image_u8"], c["size"]
         else:
-            inv = self._decode_invariant(index)
+            inv = self._decode_invariant(index, image=image)
             arr_u8, (WW, HH) = inv["image"], inv["size"]
         arr = arr_u8.astype(np.float32) / 255.0
         if self.normalize_images:
