@@ -137,7 +137,14 @@ class InferenceEngine:
         noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
         H, W = self.model_kwargs.get("image_size", (64, 64))
 
-        def fwd(variables, objs, triples, obj_mask, triple_mask, key):
+        def fwd(variables, objs, triples, obj_mask, triple_mask, seed):
+            # Key derivation INSIDE the program: PRNGKey is pure jnp ops,
+            # so a traced int32 seed yields byte-identical key material to
+            # the eager PRNGKey(seed) this path used to upload — at one
+            # device dispatch per request instead of two (the eager key
+            # build was its own ~2 ms tunnel round trip, the bulk of the
+            # serve-vs-raw-forward gap attributed in SERVING.md).
+            key = jax.random.PRNGKey(seed)
             noise = jax.random.normal(
                 key, (objs.shape[0], H, W, noise_dim), dtype=jnp.float32)
             return self._apply(variables, objs, triples, obj_mask,
@@ -210,10 +217,13 @@ class InferenceEngine:
             # Partitionable threefry (the JAX default) makes the drawn
             # values independent of how GSPMD shards the generation, so
             # the mesh path agrees with single-device bit-for-bit.  The
-            # key is built eagerly (two uint32s) so its derivation is the
-            # byte-identical PRNGKey the explicit path would use.
+            # seed travels as an int32 ARRAY (a Python int would retrace
+            # per value) and the PRNGKey derivation runs in-program —
+            # byte-identical bits, one dispatch (see _fwd_seeded).
+            if not (-(1 << 31) <= int(seed) < (1 << 31)):
+                raise ValueError(f"seed must fit int32, got {seed}")
             out = self._fwd_seeded(self.variables, *arrays,
-                                   jax.random.PRNGKey(seed))
+                                   np.int32(seed))
         else:
             out = self._fwd(self.variables, *arrays, noise_arr)
         imgs, boxes, masks, rel_scores = out[:4]
