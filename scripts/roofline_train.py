@@ -206,7 +206,9 @@ def main():
     if os.path.exists(perf_path):
         with open(perf_path) as f:
             perf = json.load(f)
-    perf["train_step_sections"] = {
+    key = ("train_step_sections" if cfg == "baseline"
+           else f"train_step_sections_{cfg}")
+    perf[key] = {
         "batch": batch, "config": cfg,
         "peaks": {"bf16_matmul_tflops_s": round(mm_peak, 1),
                   "hbm_copy_gb_s": round(hbm_peak, 1)},
@@ -214,7 +216,7 @@ def main():
     }
     with open(perf_path, "w") as f:
         json.dump(perf, f, indent=1)
-    print(f"\nwrote PERF.json train_step_sections ({len(rows)} rows)")
+    print(f"\nwrote PERF.json {key} ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
