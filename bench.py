@@ -323,8 +323,11 @@ def main_train():
 def main():
     import jax
 
-    # Measured scaling on v5e: batch 32 -> ~2450 img/s, 64 -> ~2400,
-    # 128 -> ~3020; default to the best-throughput point.
+    # Measured scaling on v5e (r4, production serving mode): batch
+    # 128 -> 4307 img/s, 192 -> 3866 (pad/tiling dip), 256 -> 4394 —
+    # within the ±8% tunnel day-variance of b128, so the default stays
+    # at the lower-latency/memory point.  (r2 f32-era numbers for
+    # history: 32 -> ~2450, 64 -> ~2400, 128 -> ~3020.)
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     fwd, args = flagship_setup(batch)
     fwd_jit = jax.jit(fwd, donate_argnums=())
