@@ -209,54 +209,27 @@ def measure_psnr_vs_reference():
     (untrained final-ReLU heads otherwise emit zero-extent boxes, whose
     grid math NaNs in the reference: ``sg2im/layout.py:117-118``).
 
-    Returns (psnr_db, n_images).
+    Returns (dict of psnr fields — raw-space and deprocessed-u8, f32 and
+    production mode — and n_images).
     """
     import tempfile
 
-    sys.path.insert(0, "/root/reference")
     import jax.numpy as jnp
     import torch
-    import torch.nn as tnn
-    from sg2im.model import Sg2ImModel
+
+    # Single source of truth for the proxy (model, seed, box-head
+    # conditioning, scene graphs): shared with the per-section
+    # attribution harness and its regression test, so the attribution in
+    # FIDELITY.md always explains THIS exact measurement.
+    from scripts.attrib_psnr import build_proxy
 
     from sg2im_tpu.ckpt.torch_compat import (
         torch04_semantics, zeros_randn_override)
     from sg2im_tpu.inference import InferenceEngine
     from sg2im_tpu.utils.metrics import psnr
 
-    num_objs, num_preds = 179, 46
-    names = ["__image__"] + [f"o{i}" for i in range(1, num_objs)]
-    preds = ["__in_image__"] + [f"p{i}" for i in range(1, num_preds)]
-    vocab = {
-        "object_idx_to_name": names,
-        "object_name_to_idx": {n: i for i, n in enumerate(names)},
-        "pred_idx_to_name": preds,
-        "pred_name_to_idx": {n: i for i, n in enumerate(preds)},
-    }
-    model_kwargs = dict(
-        image_size=(128, 128), embedding_dim=128, gconv_dim=128,
-        gconv_hidden_dim=512, gconv_num_layers=5,
-        refinement_dims=(1024, 512, 256, 128, 64), normalization="batch",
-        activation="leakyrelu-0.2", mask_size=16, layout_noise_dim=32,
-    )
-    sgs = [
-        {"objects": ["o1", "o2", "o3"],
-         "relationships": [[0, "p1", 1], [2, "p2", 0]]},
-        {"objects": ["o4", "o5", "o6", "o7"],
-         "relationships": [[0, "p3", 1], [1, "p4", 2], [3, "p5", 0]]},
-        {"objects": ["o8", "o9"], "relationships": [[0, "p6", 1]]},
-        {"objects": ["o10", "o11", "o12", "o13", "o14"],
-         "relationships": [[0, "p7", 4], [1, "p8", 2], [2, "p9", 3]]},
-    ]
     with torch04_semantics(randn_override=zeros_randn_override):
-        torch.manual_seed(0)
-        model = Sg2ImModel(vocab=vocab, **model_kwargs)
-        box_linears = [m for m in model.box_net if isinstance(m, tnn.Linear)]
-        with torch.no_grad():
-            box_linears[-1].weight.mul_(0.01)
-            box_linears[-1].bias.copy_(
-                torch.tensor([0.15, 0.2, 0.85, 0.8]))
-        model.eval()
+        model, vocab, model_kwargs, sgs = build_proxy("flagship")
         with torch.no_grad():
             ref_imgs, *_ = model.forward_json(json.loads(json.dumps(sgs)))
         ref_imgs = ref_imgs.permute(0, 2, 3, 1).numpy()

@@ -27,22 +27,25 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, "/root/reference")
 
-import jax
-
-if os.environ.get("ATTRIB_TPU", "0") not in ("1",):
-    jax.config.update("jax_platforms", "cpu")
-if os.environ.get("ATTRIB_MATMUL_PRECISION"):
-    # Diagnostic: raise the DEFAULT matmul/conv precision (the model's
-    # explicit Dense/geometry HIGHEST pins are unaffected; this moves the
-    # CRN/mask-head convs, which are deliberately left at default).
-    jax.config.update("jax_default_matmul_precision",
-                      os.environ["ATTRIB_MATMUL_PRECISION"])
-
-import jax.numpy as jnp
 import torch
-import torch.nn as tnn
+
+
+def _apply_env_config():
+    """Env-driven jax.config for STANDALONE runs — called from main()
+    only, never at import (this module is imported by bench.py and the
+    test suite, where mutating global config would change the host
+    process's backend/precision)."""
+    import jax
+
+    if os.environ.get("ATTRIB_TPU", "0") not in ("1",):
+        jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("ATTRIB_MATMUL_PRECISION"):
+        # Diagnostic: raise the DEFAULT matmul/conv precision (the
+        # model's explicit Dense/geometry HIGHEST pins are unaffected;
+        # this moves the CRN/mask-head convs, deliberately default).
+        jax.config.update("jax_default_matmul_precision",
+                          os.environ["ATTRIB_MATMUL_PRECISION"])
 
 
 def relerr(a, b):
@@ -63,6 +66,9 @@ def build_proxy(scale: str):
     """(torch model, vocab, model_kwargs, scene graphs) — mirrors
     bench.measure_psnr_vs_reference's setup bit-for-bit at 'flagship';
     'tiny' reproduces the test-scale config of tests/test_inference.py."""
+    sys.path.insert(0, "/root/reference")
+    import torch.nn as tnn
+
     from sg2im.model import Sg2ImModel
 
     if scale == "flagship":
@@ -159,6 +165,9 @@ def run_reference(model, sgs):
 def run_ours(ckpt_path, sgs, n_stages, **engine_kw):
     """Forward our converted model with capture_intermediates; returns the
     same section dict, flattened to the reference's flat-object order."""
+    import jax
+    import jax.numpy as jnp
+
     from sg2im_tpu.ckpt.torch_convert import convert_checkpoint
     from sg2im_tpu.data.scene_graphs import encode_scene_graphs
     from sg2im_tpu.models import Sg2ImGenerator
@@ -230,7 +239,10 @@ def run_ours(ckpt_path, sgs, n_stages, **engine_kw):
 
 def main():
     scale = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    _apply_env_config()
     import tempfile
+
+    import jax
 
     from sg2im_tpu.ckpt.torch_compat import (
         torch04_semantics, zeros_randn_override)

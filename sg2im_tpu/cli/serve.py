@@ -579,15 +579,16 @@ def make_handler(state: _State):
 def serve_forever(args, ready_event=None):
     """Build engine, warm buckets, serve.  ``ready_event`` (tests) is set
     once the socket is listening and warmup finished."""
-    if args.batch_window_ms > 0:
-        # The coalescing reproducibility contract (a pinned seed's noise
-        # rows are independent of batch composition) requires the
-        # partitionable threefry layout: normal(key, (n,...)) ==
-        # normal(key, (m,...))[:n] for n <= m.  It is the JAX default,
-        # but pin it explicitly before any program compiles.
-        import jax
+    # The seed reproducibility contract (a pinned seed's noise rows are
+    # independent of pad bucket and batch composition — load-bearing for
+    # the coalescer, and advertised for plain requests too) requires the
+    # partitionable threefry layout: normal(key, (n,...)) ==
+    # normal(key, (m,...))[:n] for n <= m.  It is the JAX default, but
+    # the CLI owns its process, so pin it explicitly before any program
+    # compiles (the InferenceEngine library constructor only warns).
+    import jax
 
-        jax.config.update("jax_threefry_partitionable", True)
+    jax.config.update("jax_threefry_partitionable", True)
     engine = build_engine(args)
     if args.warmup:
         print(f"warming buckets {list(args.warmup)} ...", flush=True)

@@ -59,11 +59,19 @@ class InferenceEngine:
         Default off (host deprocess, bit-exact reference path)."""
         # The seeded in-program noise path's reproducibility contract (same
         # graph+seed -> same image regardless of pad bucket, coalesced
-        # batch, or mesh sharding) requires partitionable threefry.  It is
-        # the JAX default, but pin it here so library users on a config
-        # with the flag off don't silently lose the contract (serve CLI
-        # used to be the only place this was set).
-        jax.config.update("jax_threefry_partitionable", True)
+        # batch, or mesh sharding) requires partitionable threefry (the
+        # JAX default).  A library constructor must not mutate global
+        # jax.config (that would silently change the caller's own RNG
+        # streams and invalidate their compiled programs), so warn loudly
+        # instead; the serve CLI, which owns its process, pins the flag.
+        if not jax.config.jax_threefry_partitionable:
+            import warnings
+
+            warnings.warn(
+                "jax_threefry_partitionable is disabled: InferenceEngine's "
+                "seeded-noise reproducibility contract (same graph+seed -> "
+                "same image across pad buckets / coalesced batches / mesh "
+                "shardings) does not hold under this flag", stacklevel=2)
         self.vocab = vocab
         self.model_kwargs = dict(model_kwargs)
         if compute_dtype is not None:

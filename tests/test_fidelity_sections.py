@@ -9,11 +9,7 @@ CPU backend all sections match the torch reference to ~1e-6 relative
 (measured headroom ~1e-7-1e-6; threshold 20x above the observed worst).
 """
 
-import sys
-
 import numpy as np
-
-sys.path.insert(0, "/root/repo")
 
 from scripts.attrib_psnr import build_proxy, relerr, run_ours, run_reference
 
