@@ -89,10 +89,21 @@ def build_parser():
                         "0 = single device).  Pairs well with "
                         "--batch_window_ms: coalesced batches spread "
                         "across chips")
+    p.add_argument("--replicas", default=1, type=int,
+                   help="run N independent per-chip engine replicas and "
+                        "dispatch whole requests round-robin (params "
+                        "copied to each chip).  Better per-request "
+                        "latency than --data_parallel for small "
+                        "requests — no cross-chip collectives; each "
+                        "replica coalesces its own queue under "
+                        "--batch_window_ms.  Mutually exclusive with "
+                        "--data_parallel")
     return p
 
 
-def build_engine(args):
+def build_engines(args):
+    """Engine(s) for the flag set: one mesh-sharded/single-device engine,
+    or N per-chip replicas (``--replicas``)."""
     from sg2im_tpu.inference import InferenceEngine
 
     kw = {}
@@ -105,18 +116,41 @@ def build_engine(args):
     if args.crn_mode and args.crn_mode != "legacy":
         kw["crn_mode"] = args.crn_mode
     kw["deprocess_on_device"] = args.deprocess_on_device
+    n_rep = getattr(args, "replicas", 1) or 1
     if getattr(args, "data_parallel", 0) and args.data_parallel > 1:
         import jax
 
         from sg2im_tpu.parallel.mesh import make_mesh
 
+        if n_rep > 1:
+            raise SystemExit(
+                "--replicas and --data_parallel are mutually exclusive "
+                "(per-chip replicas vs one mesh-sharded engine)")
         n_dev = len(jax.devices())
         if args.data_parallel > n_dev:
             raise SystemExit(
                 f"--data_parallel {args.data_parallel} exceeds the "
                 f"{n_dev} available device(s)")
         kw["mesh"] = make_mesh(n_data=args.data_parallel)
-    return InferenceEngine.from_torch_checkpoint(args.checkpoint, **kw)
+    if n_rep > 1:
+        import jax
+
+        from sg2im_tpu.ckpt.torch_convert import convert_checkpoint
+
+        devs = jax.devices()
+        if n_rep > len(devs):
+            raise SystemExit(f"--replicas {n_rep} exceeds the "
+                             f"{len(devs)} available device(s)")
+        bundle = convert_checkpoint(args.checkpoint)  # convert ONCE
+        return [InferenceEngine.from_bundle(bundle, device=devs[i], **kw)
+                for i in range(n_rep)]
+    return [InferenceEngine.from_torch_checkpoint(args.checkpoint, **kw)]
+
+
+def build_engine(args):
+    """Single-engine construction (kept for callers/tests that predate
+    ``--replicas``; equals ``build_engines(args)[0]``)."""
+    return build_engines(args)[0]
 
 
 def _png_bytes(img_u8: np.ndarray) -> bytes:
@@ -364,13 +398,48 @@ class _Batcher:
                 self._run([r])
 
 
+class _Dispatcher:
+    """Round-robin front for per-chip engine replicas: each replica gets
+    its own :class:`_Batcher` (independent device lock + coalescing
+    queue), and whole requests rotate across them — replicas execute
+    concurrently on their own chips with no cross-chip collectives.
+    Same-seed reproducibility holds across replicas: every replica runs
+    the identical program on identical params."""
+
+    def __init__(self, engines, max_graphs: int, window_ms: float):
+        self.batchers = [_Batcher(e, max_graphs, window_ms)
+                         for e in engines]
+        self._next = 0
+        self._lock = threading.Lock()
+
+    def submit(self, sgs, noise_mode: str, seed: int):
+        with self._lock:
+            b = self.batchers[self._next]
+            self._next = (self._next + 1) % len(self.batchers)
+        return b.submit(sgs, noise_mode, seed)
+
+    @property
+    def engine_calls(self):
+        return sum(b.engine_calls for b in self.batchers)
+
+    @property
+    def batched_requests(self):
+        return sum(b.batched_requests for b in self.batchers)
+
+
 class _State:
-    """Engine + batcher + counters shared across handler threads."""
+    """Engine(s) + batcher/dispatcher + counters shared across handler
+    threads."""
 
     def __init__(self, engine, max_graphs: int, window_ms: float = 0.0):
-        self.engine = engine
+        engines = engine if isinstance(engine, (list, tuple)) else [engine]
+        self.engines = list(engines)
+        self.engine = self.engines[0]
         self.max_graphs = max_graphs
-        self.batcher = _Batcher(engine, max_graphs, window_ms)
+        if len(self.engines) > 1:
+            self.batcher = _Dispatcher(self.engines, max_graphs, window_ms)
+        else:
+            self.batcher = _Batcher(self.engine, max_graphs, window_ms)
         self._stats_lock = threading.Lock()
         self.requests = 0
         self.images = 0
@@ -577,8 +646,8 @@ def make_handler(state: _State):
 
 
 def serve_forever(args, ready_event=None):
-    """Build engine, warm buckets, serve.  ``ready_event`` (tests) is set
-    once the socket is listening and warmup finished."""
+    """Build engine(s), warm buckets, serve.  ``ready_event`` (tests) is
+    set once the socket is listening and warmup finished."""
     # The seed reproducibility contract (a pinned seed's noise rows are
     # independent of pad bucket and batch composition — load-bearing for
     # the coalescer, and advertised for plain requests too) requires the
@@ -589,12 +658,14 @@ def serve_forever(args, ready_event=None):
     import jax
 
     jax.config.update("jax_threefry_partitionable", True)
-    engine = build_engine(args)
+    engines = build_engines(args)
     if args.warmup:
         print(f"warming buckets {list(args.warmup)} ...", flush=True)
-        shapes = engine.warmup(batch_sizes=tuple(args.warmup))
-        print(f"warmed padded shapes: {shapes}", flush=True)
-    state = _State(engine, args.max_graphs,
+        for i, e in enumerate(engines):
+            shapes = e.warmup(batch_sizes=tuple(args.warmup))
+            tag = f" replica {i} ({e.device})" if len(engines) > 1 else ""
+            print(f"warmed padded shapes{tag}: {shapes}", flush=True)
+    state = _State(engines, args.max_graphs,
                    window_ms=args.batch_window_ms)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(state))

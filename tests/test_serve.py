@@ -414,3 +414,75 @@ def test_concurrent_clients(server):
     for t in threads:
         t.join(timeout=120)
     assert not errs and len(results) == 6
+
+
+# -- per-chip replicas (--replicas) ------------------------------------------
+
+
+def test_replica_server_roundtrip_and_determinism(tmp_path):
+    """--replicas 2: requests round-robin across two device-pinned
+    engines; same graph+seed must produce byte-identical PNGs from
+    EITHER replica (identical program + params per chip), and
+    engine_calls counts across all replicas."""
+    import jax
+
+    from sg2im_tpu.cli.serve import build_parser, serve_forever
+
+    assert len(jax.devices()) >= 2
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--port", "0", "--warmup", "1",
+         "--max_graphs", "4", "--replicas", "2"])
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(args, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(timeout=180), "replica server failed to start"
+    base = f"http://127.0.0.1:{ready.httpd.server_address[1]}"
+    try:
+        # 4 sequential requests alternate replicas (round-robin); the
+        # same pinned seed must give identical bytes on both.
+        payload = {"scene_graphs": [SG], "noise": "random", "seed": 11}
+        imgs = [_post(base, payload)["images"][0] for _ in range(4)]
+        assert len(set(imgs)) == 1, "replicas diverged for a pinned seed"
+        h = json.loads(urllib.request.urlopen(base + "/healthz",
+                                              timeout=30).read())
+        # warmup bypasses the batcher; 4 requests -> 4 calls summed
+        # across both replicas' batchers.
+        assert h["engine_calls"] == 4
+    finally:
+        ready.httpd.shutdown()
+
+
+def test_replicas_mutually_exclusive_with_data_parallel(tmp_path):
+    from sg2im_tpu.cli.serve import build_engines, build_parser
+
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--replicas", "2", "--data_parallel", "2"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        build_engines(args)
+
+
+def test_engine_device_pinning(tmp_path):
+    """Library-level: two engines pinned to different devices hold their
+    params there and produce identical outputs for identical inputs."""
+    import jax
+
+    from sg2im_tpu.inference import InferenceEngine
+
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    d0, d1 = jax.devices()[0], jax.devices()[1]
+    e0 = InferenceEngine.from_torch_checkpoint(ckpt, device=d0)
+    e1 = InferenceEngine.from_torch_checkpoint(ckpt, device=d1)
+    for e, d in ((e0, d0), (e1, d1)):
+        leaf = jax.tree.leaves(e.variables)[0]
+        assert leaf.devices() == {d}, (leaf.devices(), d)
+    imgs0, out0 = e0.generate([SG], noise=None, seed=5)
+    imgs1, out1 = e1.generate([SG], noise=None, seed=5)
+    assert list(np.asarray(out0["imgs"]).ravel()) == \
+        list(np.asarray(out1["imgs"]).ravel())
+    np.testing.assert_array_equal(imgs0, imgs1)
