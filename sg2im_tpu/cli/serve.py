@@ -117,6 +117,8 @@ def build_engines(args):
         kw["crn_mode"] = args.crn_mode
     kw["deprocess_on_device"] = args.deprocess_on_device
     n_rep = getattr(args, "replicas", 1) or 1
+    if n_rep < 1:
+        raise SystemExit(f"--replicas must be >= 1, got {n_rep}")
     if getattr(args, "data_parallel", 0) and args.data_parallel > 1:
         import jax
 
@@ -409,13 +411,29 @@ class _Dispatcher:
     def __init__(self, engines, max_graphs: int, window_ms: float):
         self.batchers = [_Batcher(e, max_graphs, window_ms)
                          for e in engines]
+        self.window_ms = window_ms
         self._next = 0
         self._lock = threading.Lock()
 
     def submit(self, sgs, noise_mode: str, seed: int):
         with self._lock:
-            b = self.batchers[self._next]
-            self._next = (self._next + 1) % len(self.batchers)
+            n = len(self.batchers)
+            start = self._next
+            self._next = (self._next + 1) % n
+            b = self.batchers[start]
+            if self.window_ms <= 0:
+                # No coalescing: committing to a busy replica would
+                # head-of-line block behind its in-flight program while
+                # another chip idles — prefer the first idle one
+                # (locked() is a heuristic read; worst case we fall back
+                # to plain round-robin).  With a coalescing window,
+                # round-robin stands: joining a busy replica's queue is
+                # how requests coalesce.
+                for k in range(n):
+                    cand = self.batchers[(start + k) % n]
+                    if not cand.device_lock.locked():
+                        b = cand
+                        break
         return b.submit(sgs, noise_mode, seed)
 
     @property
@@ -657,7 +675,13 @@ def serve_forever(args, ready_event=None):
     # compiles (the InferenceEngine library constructor only warns).
     import jax
 
+    from sg2im_tpu.utils.compile_cache import enable_compile_cache
+
     jax.config.update("jax_threefry_partitionable", True)
+    # Persistent XLA compile cache: restarts (and replica 2..N's warmup
+    # of the identical program) hit the cache instead of paying the
+    # multi-minute TPU compile again.
+    enable_compile_cache()
     engines = build_engines(args)
     if args.warmup:
         print(f"warming buckets {list(args.warmup)} ...", flush=True)
@@ -671,6 +695,7 @@ def serve_forever(args, ready_event=None):
                                 make_handler(state))
     if ready_event is not None:
         ready_event.httpd = httpd  # tests stop it via .shutdown()
+        ready_event.state = state  # tests inspect batcher/replica counters
         ready_event.set()
     print(f"serving on http://{args.host}:{httpd.server_address[1]}",
           flush=True)

@@ -189,6 +189,20 @@ class InferenceEngine:
         T = batch.triples.shape[1]
         noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
         H, W = self.model_kwargs.get("image_size", (64, 64))
+        if self.device is not None:
+            # Per-chip replica: stage UNCOMMITTED creations (jnp.zeros /
+            # jnp.asarray of host data below) directly on this engine's
+            # device — otherwise they materialize on device 0 first and
+            # pay a cross-device copy (plus device-0 HBM pressure) per
+            # request.  Pre-committed jax.Array noise from another device
+            # is still moved by the explicit device_put further down.
+            with jax.default_device(self.device):
+                return self._generate_batch_impl(batch, noise, seed, N,
+                                                 noise_dim, H, W)
+        return self._generate_batch_impl(batch, noise, seed, N,
+                                         noise_dim, H, W)
+
+    def _generate_batch_impl(self, batch, noise, seed, N, noise_dim, H, W):
         noise_arr = None
         seeded = False
         if noise_dim > 0:

@@ -451,6 +451,11 @@ def test_replica_server_roundtrip_and_determinism(tmp_path):
         # warmup bypasses the batcher; 4 requests -> 4 calls summed
         # across both replicas' batchers.
         assert h["engine_calls"] == 4
+        # ... and BOTH replicas actually served (sequential requests see
+        # every replica idle, so the dispatcher's rotation decides — a
+        # bug routing everything to replica 0 would still sum to 4).
+        per_replica = [b.engine_calls for b in ready.state.batcher.batchers]
+        assert per_replica == [2, 2], per_replica
     finally:
         ready.httpd.shutdown()
 
