@@ -285,3 +285,27 @@ def test_loader_batch_decode_byte_equality(tmp_path):
             assert set(ba) == set(bb)
             for k in ba:
                 np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+
+def test_loader_batch_decode_with_cache_falls_back(tmp_path):
+    """A cache-backed dataset makes decode_images_batch inapplicable
+    (returns None); the loader must silently run its normal per-sample
+    path, same bytes as with batch_decode off."""
+    from tests.test_data import _fake_coco
+
+    from sg2im_tpu.data.coco import CocoSceneGraphDataset
+    from sg2im_tpu.data.loader import PaddedLoader
+
+    img_dir, inst, stuff = _fake_coco(str(tmp_path / "coco"))
+    ds = CocoSceneGraphDataset(
+        image_dir=img_dir, instances_json=inst, stuff_json=stuff,
+        image_size=(32, 32), mask_size=8, seed=0, decoder="native",
+        cache_dir=str(tmp_path / "cache"))
+    assert ds.decode_images_batch([0]) is None  # cache wins
+    kw = dict(batch_size=2, O_max=8, T_max=12, shuffle=False,
+              num_workers=2, drop_last=False, seed=0)
+    a = list(PaddedLoader(ds, batch_decode=True, **kw))
+    b = list(PaddedLoader(ds, batch_decode=False, **kw))
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)

@@ -491,3 +491,51 @@ def test_engine_device_pinning(tmp_path):
     assert list(np.asarray(out0["imgs"]).ravel()) == \
         list(np.asarray(out1["imgs"]).ravel())
     np.testing.assert_array_equal(imgs0, imgs1)
+
+
+def test_replicas_with_coalescing_window(tmp_path):
+    """--replicas 2 + --batch_window_ms: the dispatcher round-robins
+    request GROUPS across replicas and each replica coalesces its own
+    queue — 6 concurrent requests must produce fewer engine calls than
+    requests (coalescing happened) spread over BOTH replicas, with every
+    response correct."""
+    from sg2im_tpu.cli.serve import build_parser, serve_forever
+
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--port", "0", "--warmup", "1",
+         "--max_graphs", "8", "--replicas", "2",
+         "--batch_window_ms", "300"])
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(args, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(timeout=180), "server failed to start"
+    base = f"http://127.0.0.1:{ready.httpd.server_address[1]}"
+    try:
+        results, errors = [], []
+
+        def one(i):
+            try:
+                results.append(_post(
+                    base, {"scene_graphs": [SG], "noise": "zeros"}))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors and len(results) == 6
+        # zeros-noise responses are deterministic -> all identical
+        assert len({r["images"][0] for r in results}) == 1
+        batchers = ready.state.batcher.batchers
+        calls = [b.engine_calls for b in batchers]
+        assert sum(calls) < 6, f"no coalescing happened: {calls}"
+        assert all(c >= 1 for c in calls), \
+            f"a replica sat idle under concurrent load: {calls}"
+    finally:
+        ready.httpd.shutdown()
