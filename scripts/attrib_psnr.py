@@ -15,7 +15,9 @@ converted checkpoint.
 Usage:  python scripts/attrib_psnr.py [flagship|tiny|trained]
 Env:    ATTRIB_TPU=1 runs our side on the default backend (TPU under axon)
         instead of CPU; default CPU (fast iteration, isolates conditioning
-        from TPU-precision effects).
+        from TPU-precision effects).  ATTRIB_PROD=1 runs our side in the
+        PRODUCTION serving mode (bf16 chain + Dense 'high' + split CRN)
+        instead of the f32 parity mode.
 """
 
 from __future__ import annotations
@@ -226,7 +228,8 @@ def run_ours(ckpt_path, sgs, n_stages, **engine_kw):
     lay = masks_to_layout(
         jnp.asarray(inter["gconv_net"]["__call__"][0][0]),
         jnp.asarray(boxes), jnp.asarray(masks),
-        jnp.asarray(batch.obj_mask), H, W)
+        jnp.asarray(batch.obj_mask), H, W,
+        compute_dtype=mk.get("compute_dtype"))
     cap["layout_plus_noise"] = np.concatenate(
         [np.asarray(lay), np.asarray(noise)], axis=-1)
     for i in range(n_stages):
@@ -257,7 +260,13 @@ def main():
             path = os.path.join(td, "synth.pt")
             torch.save(ckpt, path)
             n_stages = len(model_kwargs["refinement_dims"])
-            ours = run_ours(path, sgs, n_stages)
+            engine_kw = {}
+            if os.environ.get("ATTRIB_PROD", "0") == "1":
+                import jax.numpy as jnp
+
+                engine_kw = dict(compute_dtype=jnp.bfloat16,
+                                 dense_precision="high", crn_mode="split")
+            ours = run_ours(path, sgs, n_stages, **engine_kw)
 
     order = (["gcn_layer0", "gcn_out", "boxes_pred", "mask_scores",
               "rel_scores", "layout_plus_noise"]
