@@ -16,8 +16,8 @@ and prints the markdown table for ARCHITECTURE.md §7.
 
 Usage:  python scripts/roofline.py [batch] [sections]
         sections: comma-set of peaks,gcn,heads,mask,layout,noise,crn,
-        stages,e2e (default all).  Run sections in few-at-a-time batches
-        if the tunnel compile budget is tight.
+        stages,stages_prod,e2e (default all).  Run sections in
+        few-at-a-time batches if the tunnel compile budget is tight.
 """
 
 from __future__ import annotations
@@ -107,8 +107,8 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     pick = set((sys.argv[2] if len(sys.argv) > 2 else
-                "peaks,gcn,heads,mask,layout,noise,crn,stages,e2e"
-                ).split(","))
+                "peaks,gcn,heads,mask,layout,noise,crn,stages,"
+                "stages_prod,e2e").split(","))
 
     N, O, T = batch, 16, 32
     D = 128          # embedding/gconv dim
@@ -127,6 +127,13 @@ def main():
           f"(subtracted from every section below)")
 
     mm_peak_tfs, hbm_peak_gbs = 166.0, 800.0  # fallbacks
+    try:  # a subset run reuses the last measured peaks as denominators
+        with open(os.path.join(REPO, "PERF.json")) as f:
+            pk = json.load(f).get("peaks", {})
+        mm_peak_tfs = pk.get("bf16_matmul_tflops_s", mm_peak_tfs)
+        hbm_peak_gbs = pk.get("hbm_copy_gb_s", hbm_peak_gbs)
+    except Exception:
+        pass
     if "peaks" in pick:
         K = 8192
         a = jnp.asarray(rng.randn(K, K), bf16)
@@ -316,6 +323,40 @@ def main():
             add(f"crn_s{s}_conv1", *measure(f"s{s}c1", stage_conv,
                                             (x1, k1), iters=10))
 
+    # -- per-stage PRODUCTION modules (split mode + bf16, eval BN) ------
+    # The 'stages' section above measures the LEGACY-shaped single conv
+    # over the channel concat; the production serving path (bench default:
+    # crn_mode='split', compute_dtype=bf16) never runs that shape — each
+    # stage does one conv per input block (layout-width + feats-width).
+    # Measured v5e/b128 (scripts/profile_small_conv.py): the difference is
+    # decisive at stage 1, where the 161-channel concat conv costs 3.6x
+    # the split composition (unaligned channel count, not FLOPs or bytes).
+    # This section measures the REAL RefinementModule per stage so
+    # PERF.json reflects what the e2e forward actually pays.
+    if "stages_prod" in pick:
+        from sg2im_tpu.nn.crn import RefinementModule
+
+        L = D + ND
+        # (stage, layout_res, input_dim, output_dim)
+        prod_stages = [(1, 8, 1, 1024), (2, 16, 1024, 512),
+                       (3, 32, 512, 256), (4, 64, 256, 128),
+                       (5, 128, 128, 64)]
+        for (s, res, cin, co) in prod_stages:
+            mod = RefinementModule(L, cin, co, normalization="batch",
+                                   activation="leakyrelu-0.2",
+                                   compute_dtype=bf16, conv0_mode="split")
+            level = jnp.asarray(rng.randn(N, res, res, L), bf16)
+            feats = jnp.asarray(rng.randn(N, res // 2, res // 2, cin), bf16)
+            vm = mod.init(jax.random.PRNGKey(s), level[:1], feats[:1],
+                          train=False)
+
+            def stage_fn(v, lv, ft, mod=mod):
+                return mod.apply(v, lv, ft, train=False)
+
+            add(f"crn_stage{s}_prod", *measure(f"s{s}prod", stage_fn,
+                                               (vm, level, feats),
+                                               iters=10))
+
     # -- end-to-end forward (bench configuration) -----------------------
     if "e2e" in pick:
         from bench import flagship_setup
@@ -323,15 +364,31 @@ def main():
         fwd, args = flagship_setup(batch)
         add("e2e_forward", *measure("e2e", fwd, args, iters=10))
 
-    out = {
-        "batch": N,
-        "peaks": {"bf16_matmul_tflops_s": round(mm_peak_tfs, 1),
-                  "hbm_copy_gb_s": round(hbm_peak_gbs, 1)},
-        "sections": rows,
-    }
-    with open(os.path.join(REPO, "PERF.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\nwrote PERF.json ({len(rows)} sections)")
+    out = {"batch": N, "sections": rows}
+    if "peaks" in pick:  # don't clobber measured peaks with fallbacks
+        out["peaks"] = {"bf16_matmul_tflops_s": round(mm_peak_tfs, 1),
+                        "hbm_copy_gb_s": round(hbm_peak_gbs, 1)}
+    # Merge into the existing PERF.json: a subset run refreshes only its
+    # own sections (by name) and leaves everything else (other sections,
+    # the train_step keys from roofline_train.py) intact.
+    path = os.path.join(REPO, "PERF.json")
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+    merged = list(prev.get("sections", []))
+    by_name = {r["section"]: i for i, r in enumerate(merged)}
+    for r in rows:
+        if r["section"] in by_name:
+            merged[by_name[r["section"]]] = r
+        else:
+            merged.append(r)
+    prev.update(out)
+    prev["sections"] = merged
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=1)
+    print(f"\nwrote PERF.json ({len(rows)} refreshed, "
+          f"{len(merged)} total sections)")
 
     # markdown for ARCHITECTURE §7
     print("\n| section | ms | GFLOP | MB | TF/s | GB/s | %MXU | %HBM | "
