@@ -263,6 +263,10 @@ def measure_psnr_vs_reference():
             if cm and cm != "legacy":
                 prod_kw["crn_mode"] = cm
             modes.append(("psnr_db_vs_reference", prod_kw))
+            # TURBO tier fidelity: the same checkpoint served through
+            # the calibrated int8 CRN (auto-calibrates on this batch).
+            modes.append(("psnr_db_vs_reference_turbo",
+                          dict(prod_kw, quantize="int8")))
         from sg2im_tpu.data.transforms import imagenet_deprocess_batch
 
         ref_u8 = imagenet_deprocess_batch(ref_imgs)
@@ -379,6 +383,24 @@ def main():
             float(outs["imgs"].sum())
             dts = (time.perf_counter() - t0) / iters
             extras["serve_img_s_random"] = round(batch / dts, 1)
+
+            # TURBO serving tier (opt-in, no bit-parity contract):
+            # calibrated int8-resident CRN stage convs + hardware-rbg
+            # bf16 noise draw.  Same serving path as serve_img_s_random;
+            # its fidelity field is psnr_u8_db_vs_reference_turbo below.
+            import jax.numpy as jnp
+
+            eng_t = InferenceEngine(vocab_f, mk, args[0],
+                                    quantize="int8", noise_impl="rbg",
+                                    noise_dtype=jnp.bfloat16)
+            float(eng_t.generate_batch(gb, seed=0)["imgs"].sum())  # cal
+            float(eng_t.generate_batch(gb, seed=1)["imgs"].sum())
+            t0 = time.perf_counter()
+            for i in range(iters):
+                outs = eng_t.generate_batch(gb, seed=i + 2)
+            float(outs["imgs"].sum())
+            dtt = (time.perf_counter() - t0) / iters
+            extras["turbo_img_s"] = round(batch / dtt, 1)
         except Exception as e:  # pragma: no cover
             print(f"WARNING: serve extra failed: {e!r}", file=sys.stderr)
 

@@ -55,6 +55,21 @@ def build_parser():
                              "and-retired research modes (phase/"
                              "split_noise/packed, ARCHITECTURE §7) remain "
                              "available via the Sg2ImGenerator API only")
+    parser.add_argument("--quantize", default=None,
+                        choices=["int8"],
+                        help="TURBO tier: run the high-res CRN stage convs "
+                             "on the int8 MXU path (measured accuracy "
+                             "trade for throughput — fidelity recorded in "
+                             "SERVING.md/BENCH; no bit-parity contract). "
+                             "Checkpoints are unaffected (weights "
+                             "quantize in-program)")
+    parser.add_argument("--noise_impl", default=None,
+                        choices=["threefry", "rbg"],
+                        help="PRNG for --noise random: 'rbg' (hardware "
+                             "generator, 2.1x draw rate; deterministic "
+                             "per seed+batch shape only) vs the default "
+                             "threefry (bucket/mesh-stable seeded "
+                             "reproducibility)")
     parser.add_argument("--deprocess_device", type=int, default=0,
                         help="fold deprocess (denorm + rescale + uint8) "
                              "into the serving program: 4x less "
@@ -86,6 +101,9 @@ def main(args=None):
         dense_precision=(None if args.dense_precision == "highest"
                          else args.dense_precision),
         crn_mode=(None if args.crn_mode == "legacy" else args.crn_mode),
+        quantize=args.quantize,
+        noise_impl=(None if args.noise_impl == "threefry"
+                    else args.noise_impl),
         deprocess_on_device=bool(args.deprocess_device))
 
     with open(args.scene_graphs_json) as f:

@@ -72,6 +72,17 @@ def build_parser():
     p.add_argument("--crn_mode", default=None,
                    choices=[None, "legacy", "split"],
                    help="'split' skips the CRN concat materialization")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8"],
+                   help="TURBO tier: int8 MXU path for the high-res CRN "
+                        "stage convs (measured accuracy trade — see "
+                        "SERVING.md; checkpoints unaffected)")
+    p.add_argument("--noise_impl", default=None,
+                   choices=[None, "threefry", "rbg"],
+                   help="'rbg' = hardware PRNG for the per-request noise "
+                        "draw (2.1x draw rate; deterministic per "
+                        "seed+batch shape only — coalescing/bucketing "
+                        "changes a request's noise)")
     p.add_argument("--deprocess_on_device", default=True, type=bool_flag,
                    help="fold deprocess into the TPU program (uint8 out, "
                         "4x less device->host traffic)")
@@ -115,6 +126,11 @@ def build_engines(args):
         kw["dense_precision"] = args.dense_precision
     if args.crn_mode and args.crn_mode != "legacy":
         kw["crn_mode"] = args.crn_mode
+    if getattr(args, "quantize", None):
+        kw["quantize"] = args.quantize
+    ni = getattr(args, "noise_impl", None)
+    if ni and ni != "threefry":
+        kw["noise_impl"] = ni
     kw["deprocess_on_device"] = args.deprocess_on_device
     n_rep = getattr(args, "replicas", 1) or 1
     if n_rep < 1:

@@ -34,7 +34,8 @@ class InferenceEngine:
     def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8,
                  mesh=None, compute_dtype=None, dense_precision=None,
                  crn_mode=None, deprocess_on_device: bool = False,
-                 device=None):
+                 device=None, quantize=None, noise_impl=None,
+                 noise_dtype=None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         generation batches shard over it (params replicated), scaling
         serving throughput across chips.
@@ -64,7 +65,29 @@ class InferenceEngine:
         per-image min-max rescale + uint8) into the serving program, so
         :meth:`generate` fetches uint8 instead of f32 — 4x less
         device->host traffic per request and the reductions run on-chip.
-        Default off (host deprocess, bit-exact reference path)."""
+        Default off (host deprocess, bit-exact reference path).
+
+        ``quantize``: 'int8' runs the high-res CRN stage convs on the
+        int8 MXU path (the opt-in TURBO serving tier — dynamic symmetric
+        quantization in-program, checkpoints unaffected).  A measured
+        accuracy trade for throughput; fidelity is recorded per round in
+        BENCH_*.json and SERVING.md.  Default ``None`` (no quantization).
+
+        ``noise_impl``: PRNG implementation for the seeded in-program
+        layout-noise draw.  Default threefry (the JAX default) carries
+        the reproducibility contract (same graph+seed -> same image
+        across pad buckets / coalesced batches / mesh shardings).
+        'rbg' uses the hardware RngBitGenerator — measured 2.1x faster
+        on the 67M-element b128 draw (scripts/profile_int8_rng.py) but
+        deterministic only per (seed, padded shape): a request's noise
+        CHANGES with its pad bucket / coalesced batch, so same-seed
+        replay holds only under identical batching.  Turbo-tier option.
+
+        ``noise_dtype``: dtype of the seeded noise draw (default f32,
+        the reference-bit path).  ``jnp.bfloat16`` halves the draw's
+        generation cost and HBM write; the CRN consumes compute_dtype
+        anyway, so in bf16 mode the only delta is rounding the normals
+        themselves.  Turbo-tier option (no bit-parity contract)."""
         # The seeded in-program noise path's reproducibility contract (same
         # graph+seed -> same image regardless of pad bucket, coalesced
         # batch, or mesh sharding) requires partitionable threefry (the
@@ -72,7 +95,12 @@ class InferenceEngine:
         # jax.config (that would silently change the caller's own RNG
         # streams and invalidate their compiled programs), so warn loudly
         # instead; the serve CLI, which owns its process, pins the flag.
-        if not jax.config.jax_threefry_partitionable:
+        if noise_impl not in (None, "threefry", "rbg"):
+            raise ValueError(f"unknown noise_impl {noise_impl!r}")
+        self.noise_impl = noise_impl or "threefry"
+        self.noise_dtype = noise_dtype
+        if self.noise_impl == "threefry" and \
+                not jax.config.jax_threefry_partitionable:
             import warnings
 
             warnings.warn(
@@ -88,6 +116,10 @@ class InferenceEngine:
             self.model_kwargs["dense_precision"] = dense_precision
         if crn_mode is not None:
             self.model_kwargs["crn_mode"] = crn_mode
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize tier {quantize!r}")
+            self.model_kwargs["crn_quant"] = quantize
         self.model = Sg2ImGenerator(vocab=vocab, **self.model_kwargs)
         self.mesh = mesh
         self.device = device
@@ -123,17 +155,29 @@ class InferenceEngine:
     # -- compiled forward --------------------------------------------------
 
     def _apply(self, variables, objs, triples, obj_mask, triple_mask,
-               noise):
-        out = self.model.apply(
-            variables, objs, triples, obj_mask, triple_mask,
-            train=False, layout_noise=noise,
-        )
+               noise, calibrate=False):
+        """``calibrate``: run with the 'quant' collection mutable — the
+        int8 tier's activation scales are recorded (running max over
+        calibration batches) and the collection is returned alongside the
+        outputs.  The generated images are valid turbo outputs (the
+        calibration pass quantizes with the fresh batch scales)."""
+        if calibrate:
+            out, muts = self.model.apply(
+                variables, objs, triples, obj_mask, triple_mask,
+                train=False, layout_noise=noise, mutable=["quant"],
+            )
+        else:
+            out = self.model.apply(
+                variables, objs, triples, obj_mask, triple_mask,
+                train=False, layout_noise=noise,
+            )
         if self.deprocess_on_device:
             from sg2im_tpu.data.transforms import (
                 imagenet_deprocess_batch_jnp)
 
-            return out + (imagenet_deprocess_batch_jnp(out[0]),)
-        return out
+            out = out + (imagenet_deprocess_batch_jnp(out[0]),)
+        # (muts may lack 'quant' when no stage clears quant_min_res)
+        return (out, muts.get("quant", {})) if calibrate else out
 
     @functools.cached_property
     def _fwd(self):
@@ -141,7 +185,20 @@ class InferenceEngine:
         return jax.jit(self._apply)
 
     @functools.cached_property
+    def _fwd_cal(self):
+        """Explicit-noise forward that also records the int8 scales."""
+        return jax.jit(functools.partial(self._apply, calibrate=True))
+
+    @functools.cached_property
+    def _fwd_seeded_cal(self):
+        """Seeded forward that also records the int8 scales."""
+        return self._make_seeded(calibrate=True)
+
+    @functools.cached_property
     def _fwd_seeded(self):
+        return self._make_seeded()
+
+    def _make_seeded(self, calibrate=False):
         """Forward with the layout noise drawn INSIDE the program.
 
         Same threefry bits as the eager ``jax.random.normal(PRNGKey(seed),
@@ -165,15 +222,50 @@ class InferenceEngine:
             # device dispatch per request instead of two (the eager key
             # build was its own ~2 ms tunnel round trip, the bulk of the
             # serve-vs-raw-forward gap attributed in SERVING.md).
-            key = jax.random.PRNGKey(seed)
+            if self.noise_impl == "rbg":
+                # Hardware RngBitGenerator (turbo tier): 2.1x the threefry
+                # draw rate, deterministic per (seed, padded shape) only —
+                # see the constructor docstring for the weakened contract.
+                key = jax.random.key(seed, impl="rbg")
+            else:
+                key = jax.random.PRNGKey(seed)
             noise = jax.random.normal(
-                key, (objs.shape[0], H, W, noise_dim), dtype=jnp.float32)
+                key, (objs.shape[0], H, W, noise_dim),
+                dtype=self.noise_dtype or jnp.float32)
             return self._apply(variables, objs, triples, obj_mask,
-                               triple_mask, noise)
+                               triple_mask, noise, calibrate=calibrate)
 
         return jax.jit(fwd)
 
-    def generate_batch(self, batch: GraphBatch, noise=None, seed: int = 0):
+    @property
+    def calibrated(self) -> bool:
+        """int8 tier only: have the activation scales been recorded?"""
+        return "quant" in self.variables
+
+    def _drop_calibration(self):
+        self.variables = {k: v for k, v in self.variables.items()
+                          if k != "quant"}
+
+    def calibrate(self, scene_graphs, noise=None, seed: int = 0):
+        """Record (or extend, if already calibrated — running max) the
+        int8 tier's activation scales on REPRESENTATIVE scene graphs.
+
+        The turbo tier's quantization scales are static inputs to the
+        compiled serving program; they are measured on data, not derived
+        from weights.  An uncalibrated engine calibrates automatically on
+        its first generated batch (valid turbo output — the calibration
+        program quantizes with the fresh batch scales), which is the
+        right default for a server whose first requests are real traffic.
+        Call this explicitly for reproducible deployments or when the
+        first batch may be unrepresentative.  Out-of-range activations on
+        later batches clip at +-127 (graceful saturation)."""
+        if self.model_kwargs.get("crn_quant") is None:
+            raise ValueError("calibrate() requires quantize='int8'")
+        self.generate(scene_graphs, noise=noise, seed=seed,
+                      deprocess=False, _calibrate=True)
+
+    def generate_batch(self, batch: GraphBatch, noise=None, seed: int = 0,
+                       _calibrate: bool = False):
         """Run the generator on an encoded GraphBatch.
 
         Args:
@@ -198,11 +290,13 @@ class InferenceEngine:
             # is still moved by the explicit device_put further down.
             with jax.default_device(self.device):
                 return self._generate_batch_impl(batch, noise, seed, N,
-                                                 noise_dim, H, W)
+                                                 noise_dim, H, W,
+                                                 _calibrate)
         return self._generate_batch_impl(batch, noise, seed, N,
-                                         noise_dim, H, W)
+                                         noise_dim, H, W, _calibrate)
 
-    def _generate_batch_impl(self, batch, noise, seed, N, noise_dim, H, W):
+    def _generate_batch_impl(self, batch, noise, seed, N, noise_dim, H, W,
+                             force_calibrate: bool = False):
         noise_arr = None
         seeded = False
         if noise_dim > 0:
@@ -255,19 +349,30 @@ class InferenceEngine:
             arrays = tuple(jax.device_put(a, self.device) for a in arrays)
             if noise_arr is not None:
                 noise_arr = jax.device_put(noise_arr, self.device)
+        # int8 tier: an uncalibrated engine routes its first batch (or an
+        # explicit calibrate() call) through the scale-recording program;
+        # its outputs are valid turbo outputs, and the recorded scales
+        # become static inputs of the serving program from then on.
+        calibrating = (self.model_kwargs.get("crn_quant") is not None
+                       and (force_calibrate or not self.calibrated))
         if seeded:
             # Partitionable threefry (the JAX default) makes the drawn
             # values independent of how GSPMD shards the generation, so
-            # the mesh path agrees with single-device bit-for-bit.  The
+            # the mesh path agrees with single-device bit-for-bit (the
+            # opt-in 'rbg' impl weakens this — see the constructor).  The
             # seed travels as an int32 ARRAY (a Python int would retrace
             # per value) and the PRNGKey derivation runs in-program —
             # byte-identical bits, one dispatch (see _fwd_seeded).
             if not (-(1 << 31) <= int(seed) < (1 << 31)):
                 raise ValueError(f"seed must fit int32, got {seed}")
-            out = self._fwd_seeded(self.variables, *arrays,
-                                   np.int32(seed))
+            fn = self._fwd_seeded_cal if calibrating else self._fwd_seeded
+            out = fn(self.variables, *arrays, np.int32(seed))
         else:
-            out = self._fwd(self.variables, *arrays, noise_arr)
+            fn = self._fwd_cal if calibrating else self._fwd
+            out = fn(self.variables, *arrays, noise_arr)
+        if calibrating:
+            out, quant = out
+            self.variables = {**self.variables, "quant": quant}
         imgs, boxes, masks, rel_scores = out[:4]
         result = {"imgs": imgs, "boxes": boxes, "masks": masks,
                   "rel_scores": rel_scores}
@@ -291,10 +396,22 @@ class InferenceEngine:
         """
         sg = scene_graph or {"objects": [], "relationships": []}
         noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
+        # int8 tier: warm the CALIBRATION program flavors too (scale
+        # VALUES are runtime inputs, so the static program compiled here
+        # is reused whatever the real scales turn out to be), then
+        # restore the calibration state — warmup graphs are not
+        # representative data, so scales recorded here are discarded
+        # unless the engine was already calibrated.
+        quantized = self.model_kwargs.get("crn_quant") is not None
+        pre = self.variables.get("quant") if quantized else None
         shapes = []
         for n in batch_sizes:
             batch = encode_scene_graphs([sg] * n, self.vocab,
                                         align=self.pad_align)
+            if quantized and pre is None:
+                self._drop_calibration()
+                self.generate([sg] * n, noise="zeros", seed=seed,
+                              deprocess=False)  # calibration flavor
             self.generate([sg] * n, noise="zeros", seed=seed,
                           deprocess=False)
             if noise_dim > 0:
@@ -302,16 +419,25 @@ class InferenceEngine:
                 # runtime path for 'random' requests.
                 self.generate([sg] * n, noise=None, seed=seed,
                               deprocess=False)
+                if quantized and pre is None:
+                    self._drop_calibration()
+                    self.generate([sg] * n, noise=None, seed=seed,
+                                  deprocess=False)  # calibration flavor
             n_pad = max(1, 1 << (n - 1).bit_length())
             if self.mesh is not None:
                 d = self.mesh.shape["data"]
                 n_pad = max(n_pad, ((n_pad + d - 1) // d) * d)
             shapes.append((n_pad,) + (batch.objs.shape[1],
                                       batch.triples.shape[1]))
+        if quantized:
+            if pre is None:
+                self._drop_calibration()  # first real batch calibrates
+            else:
+                self.variables = {**self.variables, "quant": pre}
         return shapes
 
     def generate(self, scene_graphs, noise=None, seed: int = 0,
-                 deprocess: bool = True):
+                 deprocess: bool = True, _calibrate: bool = False):
         """JSON scene graph(s) -> images (uint8 NHWC if deprocess).
 
         Mirrors reference ``forward_json`` + ``imagenet_deprocess_batch``
@@ -336,7 +462,8 @@ class InferenceEngine:
                 obj_mask=_pad_rows(batch.obj_mask, n_pad),
                 triple_mask=_pad_rows(batch.triple_mask, n_pad),
             )
-        out = self.generate_batch(batch, noise=noise, seed=seed)
+        out = self.generate_batch(batch, noise=noise, seed=seed,
+                                  _calibrate=_calibrate)
         out = {k: (None if v is None else v[:n_real]) for k, v in out.items()}
         if deprocess and "imgs_u8" in out:
             # on-device deprocess: fetch the uint8 result, not the f32 one

@@ -113,6 +113,13 @@ class Sg2ImGenerator(nn.Module):
     #   Serving may pass 'high' (3-pass bf16 ~f32-accurate) to halve the
     #   GCN/head Dense time — measured PSNR-safe, never the default
     #   (CLAUDE.md hard rule protects checkpoint parity).
+    crn_quant: str | None = None  # 'int8': turbo serving tier — the
+    #   high-res CRN stage convs run int8-resident on the int8 MXU path
+    #   (calibrated symmetric quantization, int32 accumulation; nn/crn.py
+    #   _conv_int8).  A measured accuracy trade for throughput
+    #   (fidelity recorded per round in BENCH_*.json) — never a default;
+    #   parameters and checkpoints are unaffected (weights quantize
+    #   in-program from the stored f32 kernels).
 
     @nn.compact
     def __call__(self, objs, triples, obj_mask=None, triple_mask=None,
@@ -270,6 +277,7 @@ class Sg2ImGenerator(nn.Module):
             compute_dtype=self.compute_dtype,
             conv0_mode=("split" if self.crn_mode == "split_noise"
                         else self.crn_mode),
+            quant=self.crn_quant,
             name="refinement_net",
         )(layout, train=train, noise=noise_sep)
         return imgs, boxes_pred, masks_pred, rel_scores

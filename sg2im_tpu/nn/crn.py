@@ -37,6 +37,100 @@ def _conv(x, kernel, padding):
 
 
 # ---------------------------------------------------------------------------
+# int8 quantized convs — the opt-in 'turbo' serving tier.  Symmetric
+# quantization: per-output-channel weight scales (derived from the f32
+# params in-program, negligible cost), per-tensor CALIBRATED activation
+# scales (flax 'quant' collection: a calibration pass records max-abs on a
+# representative batch, then the scales are static inputs to the compiled
+# serving program — no per-batch reduction passes), int32 MXU
+# accumulation, f32 dequant fused into the norm/act epilogues.
+#
+# The design is int8-RESIDENT: each quantized stage's epilogue emits int8
+# directly (the write is the pass the epilogue already does — half the
+# bytes of bf16), the nearest-2x upsample between stages is pure int8
+# indexing, and the next conv consumes int8 without any materialized
+# re-quantization.  Measured on v5e (scripts/profile_{int8_rng,
+# quant_stage}.py): the int8 systolic path runs 1.6x bf16 and a per-conv
+# DYNAMIC re-quantization pass costs more than the conv win on the
+# HBM-bound stage-5 shape — which is exactly why the scales must be
+# calibrated, not recomputed.  The deliberate accuracy trade is measured
+# and documented in SERVING.md (this tier has no bit-parity contract).
+# ---------------------------------------------------------------------------
+
+def _quant_weight_int8(kernel):
+    """f32 (kh,kw,cin,co) -> (int8 kernel, f32 per-channel scale (co,))."""
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-30) / 127.0
+    kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    return kq, sw
+
+
+def _act_scale(mdl, name, x):
+    """Calibrated per-tensor activation scale (collection 'quant').
+
+    During calibration (the 'quant' collection mutable — see
+    InferenceEngine.calibrate) the stored scale accumulates a running max
+    over calibration batches and quantization uses the fresh batch value;
+    during serving the stored scale is a static program input.  Values
+    beyond the calibrated range clip at +-127 (graceful saturation)."""
+    v = mdl.variable("quant", name, lambda: jnp.float32(0.0))
+    if mdl.is_mutable_collection("quant"):
+        cur = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+        v.value = jnp.maximum(v.value, cur)
+        return jnp.maximum(cur, 1e-30)
+    return jnp.maximum(v.value, 1e-30)
+
+
+def _quant_act(x, s):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127,
+                    127).astype(jnp.int8)
+
+
+def _conv_int8(xq, kernel, s_x, padding=((1, 1), (1, 1))):
+    """int8 conv of a pre-quantized input; returns dequantized f32 (no
+    bias) — the caller's norm/act epilogue fuses the dequant multiply."""
+    kq, sw = _quant_weight_int8(kernel)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (s_x * sw)
+
+
+def _quant_conv(mdl, tag, x, kernel, padding=((1, 1), (1, 1))):
+    """Quantize ``x`` with its calibrated scale, then int8 conv."""
+    s = _act_scale(mdl, tag, x)
+    return _conv_int8(_quant_act(x, s), kernel, s, padding)
+
+
+class QuantConv3x3(nn.Module):
+    """int8-path replacement for the stage's second ``nn.Conv``.  Param
+    tree IDENTICAL to the ``nn.Conv`` it replaces ('kernel' (3,3,cin,co) +
+    'bias'), so checkpoints and the converter are unaffected.
+
+    ``__call__(x, s_in)``: with ``s_in`` given, ``x`` is already int8 at
+    that scale (the producer's epilogue emitted it — the resident path);
+    otherwise ``x`` is quantized here with this module's own calibrated
+    scale."""
+
+    input_dim: int
+    output_dim: int
+    compute_dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, s_in=None):
+        kernel = self.param("kernel", kaiming_normal_init(),
+                            (3, 3, self.input_dim, self.output_dim))
+        bias = self.param("bias", torch_linear_bias_init(self.input_dim * 9),
+                          (self.output_dim,))
+        if s_in is None:
+            out = _quant_conv(self, "act_in", x, kernel)
+        else:
+            out = _conv_int8(x, kernel, s_in)
+        return out + bias
+
+
+# ---------------------------------------------------------------------------
 # Packed (space-to-depth) domain: run a stage's convs at half resolution
 # with 4x channels.  A 3x3 'same' conv on the fine grid becomes a 2x2
 # VALID conv on the packed grid with phase-structured kernels — the MXU
@@ -183,9 +277,13 @@ class FusedUpsampleConv(nn.Module):
     compute_dtype: object = None
     mode: str = "legacy"
     noise_dim: int = 0  # trailing layout channels supplied separately
+    quant: bool = False  # int8 MXU path (turbo tier; see _conv_int8)
 
     @nn.compact
-    def __call__(self, layout, feats, noise=None):
+    def __call__(self, layout, feats, noise=None, feats_scale=None):
+        """``feats_scale``: when given, ``feats`` is ALREADY int8 at that
+        per-tensor scale (the previous quantized stage's epilogue emitted
+        it — the int8-resident handoff); requires ``quant``."""
         cin = self.layout_dim + self.feats_dim
         co = self.output_dim
         kernel = self.param("kernel", kaiming_normal_init(),
@@ -194,8 +292,11 @@ class FusedUpsampleConv(nn.Module):
         dt = self.compute_dtype or layout.dtype
         k = kernel.astype(dt)
         layout = layout.astype(dt)
-        feats = feats.astype(dt)
         Dl = self.layout_dim
+        assert feats_scale is None or self.quant, (
+            "int8 feats handoff requires the quantized stage")
+        if not self.quant:
+            feats = feats.astype(dt)
         if noise is not None:
             assert self.noise_dim and self.mode == "split", (
                 "separate noise is a split-mode option")
@@ -203,9 +304,27 @@ class FusedUpsampleConv(nn.Module):
             assert layout.shape[-1] == Dl - self.noise_dim
             noise = noise.astype(dt)
 
+        if self.quant:
+            assert self.mode in ("legacy", "split"), (
+                "int8 quant supports the legacy/split formulations")
+            # Quantize feats at the COARSE resolution (4x fewer elements
+            # than post-upsample) unless the producer already emitted
+            # int8; the nearest-2x upsample is pure indexing, so it
+            # commutes with quantization exactly.  (Equal-resolution
+            # stages run unquantized — see below — so don't quantize
+            # their input here.)
+            if feats_scale is None and feats.shape[1] != layout.shape[1]:
+                feats_scale = _act_scale(self, "act_up", feats)
+                feats = _quant_act(feats, feats_scale)
+
         if feats.shape[1] == layout.shape[1]:
             # Feats already at layout resolution: plain concat+conv
-            # (first stage, e.g. 4x4 for vg128 — the concat is tiny).
+            # (first stage, e.g. 4x4 for vg128 — the concat is tiny, and
+            # so is any int8 win, so even a quantized stage runs this
+            # conv in compute_dtype: dequantize handed-off feats).
+            if self.quant:
+                feats = (feats.astype(jnp.float32) * feats_scale
+                         if feats_scale is not None else feats).astype(dt)
             parts = [layout] + ([noise] if noise is not None else [])
             x = jnp.concatenate(parts + [feats], axis=-1)
             return _conv(x, k, [(1, 1), (1, 1)]) + bias.astype(dt)
@@ -213,12 +332,37 @@ class FusedUpsampleConv(nn.Module):
         assert 2 * feats.shape[1] == layout.shape[1], (feats.shape,
                                                        layout.shape)
         if self.mode == "legacy":
+            if self.quant:
+                # Branch-split is exact up to sum reassociation and lets
+                # the feats ride the int8 upsample.  The LAYOUT branch
+                # stays in compute_dtype: quantizing it would need a
+                # materialized int8 copy of the level (the conv cannot
+                # fuse the round/clip producer), and the shoot-out
+                # (scripts/profile_quant_stage.py 'resident_ql' + the
+                # quantize-pass bytes) shows that loses at every stage
+                # except s3 — not worth a per-stage special case.
+                up = upsample_nearest(feats, 2)
+                out = _conv_int8(up, kernel[:, :, Dl:], feats_scale)
+                out += _conv(layout, k[:, :, :Dl], [(1, 1), (1, 1)])
+                return out + bias
             up = upsample_nearest(feats, 2)
             x = jnp.concatenate([layout, up], axis=-1)
             return _conv(x, k, [(1, 1), (1, 1)]) + bias.astype(dt)
 
         if self.mode == "split":
             up = upsample_nearest(feats, 2)
+            if self.quant:
+                # int8 up-feats branch + compute_dtype layout/noise
+                # branches (see the legacy-mode comment), f32 accumulate.
+                out = _conv_int8(up, kernel[:, :, Dl:], feats_scale)
+                if noise is None:
+                    out += _conv(layout, k[:, :, :Dl], [(1, 1), (1, 1)])
+                else:
+                    out += _conv(layout, k[:, :, :Dl - self.noise_dim],
+                                 [(1, 1), (1, 1)])
+                    out += _conv(noise, k[:, :, Dl - self.noise_dim:Dl],
+                                 [(1, 1), (1, 1)])
+                return out + bias
             if noise is None:
                 out = _conv(layout, k[:, :, :Dl], [(1, 1), (1, 1)])
             else:
@@ -317,13 +461,21 @@ class RefinementModule(nn.Module):
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU-speed convs
     conv0_mode: str = "legacy"    # see FusedUpsampleConv.mode
     noise_dim: int = 0            # see FusedUpsampleConv.noise_dim
+    quant: bool = False           # int8 turbo tier (see _conv_int8)
+    emit_q: bool = False          # emit (int8, scale) for a quantized
+    #                               consumer (the resident handoff)
 
     @nn.compact
-    def __call__(self, layout, feats, train: bool = False, noise=None):
+    def __call__(self, layout, feats, train: bool = False, noise=None,
+                 feats_scale=None):
         """``feats`` arrives at HALF the layout resolution; the nearest-2x
         upsample of the reference (``crn.py:54-58``) is fused into the first
         conv (FusedUpsampleConv).  If ``feats`` already matches the layout
-        resolution the module degrades to the plain concat+conv."""
+        resolution the module degrades to the plain concat+conv.
+
+        int8 turbo plumbing: ``feats_scale`` marks ``feats`` as int8 from
+        the previous quantized stage; with ``emit_q`` the return value is
+        ``(int8 feats, scale)`` for the next one."""
         act = parse_activation(self.activation)
         idx = _crn_indices(self.normalization)
 
@@ -339,19 +491,28 @@ class RefinementModule(nn.Module):
             self.layout_dim, self.input_dim, self.output_dim,
             compute_dtype=self.compute_dtype, mode=self.conv0_mode,
             noise_dim=self.noise_dim if noise is not None else 0,
+            quant=self.quant,
             name=f"layer{idx['conv0']}",
-        )(layout, feats, noise=noise)
+        )(layout, feats, noise=noise, feats_scale=feats_scale)
         for conv_key, norm_key in (("conv0", "norm0"), ("conv1", "norm1")):
             if conv_key != "conv0":
-                x = nn.Conv(
-                    self.output_dim,
-                    (3, 3),
-                    padding=[(1, 1), (1, 1)],
-                    kernel_init=kaiming_normal_init(),
-                    bias_init=torch_linear_bias_init(self.output_dim * 9),
-                    dtype=self.compute_dtype,
-                    name=f"layer{idx[conv_key]}",
-                )(x)
+                if self.quant:
+                    # x is int8 at s_mid (emitted by the epilogue below).
+                    x = QuantConv3x3(
+                        self.output_dim, self.output_dim,
+                        name=f"layer{idx[conv_key]}",
+                    )(x, s_in=s_mid)
+                else:
+                    x = nn.Conv(
+                        self.output_dim,
+                        (3, 3),
+                        padding=[(1, 1), (1, 1)],
+                        kernel_init=kaiming_normal_init(),
+                        bias_init=torch_linear_bias_init(
+                            self.output_dim * 9),
+                        dtype=self.compute_dtype,
+                        name=f"layer{idx[conv_key]}",
+                    )(x)
             if self.compute_dtype is not None and (
                     train or self.normalization == "instance"):
                 # Train-mode BN reduces over the batch: keep stats math in
@@ -368,7 +529,21 @@ class RefinementModule(nn.Module):
             elif self.normalization == "instance":
                 x = instance_norm_2d(x)
             x = apply_activation(act, x)
-            if self.compute_dtype is not None:
+            if self.quant:
+                # int8-RESIDENT epilogues: the norm/act output is written
+                # int8 (half the bytes of the bf16 chain) and the next
+                # conv consumes it directly — no re-quantization pass
+                # anywhere (a per-conv dynamic pass measured as a net
+                # LOSS on the HBM-bound stage-5 shape; PERF notes).
+                if conv_key == "conv0":
+                    s_mid = _act_scale(self, "act_mid", x)
+                    x = _quant_act(x, s_mid)
+                elif self.emit_q:
+                    s_out = _act_scale(self, "act_out", x)
+                    return _quant_act(x, s_out), s_out
+                elif self.compute_dtype is not None:
+                    x = x.astype(self.compute_dtype)
+            elif self.compute_dtype is not None:
                 # Keep the inter-conv activation chain in compute_dtype —
                 # the cast fuses into the norm/act epilogue so every HBM
                 # tensor between convs is bf16 (halved traffic).  Measured
@@ -475,6 +650,15 @@ class RefinementNetwork(nn.Module):
     #                             resolution >= this (low-res stages have
     #                             high channel counts where the derived
     #                             packed kernels would dominate traffic)
+    quant: str | None = None    # 'int8': run the high-res stages' convs on
+    #                             the int8 MXU path (turbo serving tier —
+    #                             measured accuracy trade, no bit-parity
+    #                             contract; see _conv_int8)
+    quant_min_res: int = 32     # quantize stages with layout resolution >=
+    #                             this; the low-res stages are cheap and
+    #                             feed everything downstream, so keeping
+    #                             them in compute_dtype buys fidelity for
+    #                             ~no throughput
 
     @nn.compact
     def __call__(self, layout, train: bool = False, noise=None):
@@ -486,6 +670,10 @@ class RefinementNetwork(nn.Module):
         mode's existing exactness class).  Parameters are unchanged."""
         act = parse_activation(self.activation)
         layout_dim = self.dims[0]
+        if self.quant is not None:
+            assert self.quant == "int8", self.quant
+            assert self.conv0_mode != "packed", (
+                "int8 quant and the packed domain are mutually exclusive")
         noise_dim = 0
         if noise is not None:
             assert self.conv0_mode == "split", (
@@ -531,6 +719,14 @@ class RefinementNetwork(nn.Module):
         # upsample branch of the next stage).
         feats = jnp.zeros((N, h0, w0, 1), dtype=layout.dtype)
         packed = False  # does `feats` currently hold a packed tensor?
+        # Per-stage int8 flags, computed up front so each stage knows
+        # whether its CONSUMER is quantized (emit_q drives the resident
+        # int8 handoff — the producing epilogue writes int8 and the next
+        # stage's upsample+conv consume it without a requantization pass).
+        q_flags = [self.quant == "int8"
+                   and pyramid[i - 1].shape[1] >= self.quant_min_res
+                   for i in range(1, len(self.dims))]
+        feats_scale = None
         for i in range(1, len(self.dims)):
             input_dim = 1 if i == 1 else self.dims[i - 1]
             level = pyramid[i - 1]
@@ -553,7 +749,7 @@ class RefinementNetwork(nn.Module):
                 )(space_to_depth(level), feats, train=train)
                 packed = True
             else:
-                feats = RefinementModule(
+                out = RefinementModule(
                     layout_dim,
                     input_dim,
                     self.dims[i],
@@ -564,8 +760,18 @@ class RefinementNetwork(nn.Module):
                                 in ("legacy", "phase", "split")
                                 else "legacy"),
                     noise_dim=noise_dim,
+                    quant=q_flags[i - 1],
+                    # Emit int8 when the consumer is quantized: the next
+                    # stage, or (for the last stage) the output head's
+                    # 3x3 conv — measured +0.7 ms at b128 (head_resident,
+                    # scripts/profile_quant_stage.py).
+                    emit_q=(q_flags[i - 1]
+                            and (i >= len(q_flags) or q_flags[i])),
                     name=f"refinement_modules_{i - 1}",
-                )(level, feats, train=train, noise=noise_pyramid[i - 1])
+                )(level, feats, train=train, noise=noise_pyramid[i - 1],
+                  feats_scale=feats_scale)
+                feats, feats_scale = (out if isinstance(out, tuple)
+                                      else (out, None))
 
         if packed:
             x = PackedConv3x3(
@@ -578,13 +784,21 @@ class RefinementNetwork(nn.Module):
             x = apply_activation(act, x)
             return PackedConv1x1(self.dims[-1], 3, name="output_conv_2")(x)
 
-        x = nn.Conv(
-            self.dims[-1], (3, 3), padding=[(1, 1), (1, 1)],
-            kernel_init=kaiming_normal_init(),
-            bias_init=torch_linear_bias_init(self.dims[-1] * 9),
-            dtype=self.compute_dtype,
-            name="output_conv_0",
-        )(feats)
+        if feats_scale is not None:
+            # Last stage emitted int8: the head's 3x3 conv rides the
+            # resident path too (the final 1x1 RGB projection stays
+            # unquantized).
+            x = QuantConv3x3(
+                self.dims[-1], self.dims[-1], name="output_conv_0",
+            )(feats, s_in=feats_scale)
+        else:
+            x = nn.Conv(
+                self.dims[-1], (3, 3), padding=[(1, 1), (1, 1)],
+                kernel_init=kaiming_normal_init(),
+                bias_init=torch_linear_bias_init(self.dims[-1] * 9),
+                dtype=self.compute_dtype,
+                name="output_conv_0",
+            )(feats)
         if self.compute_dtype is not None:
             x = x.astype(jnp.float32)
         x = apply_activation(act, x)

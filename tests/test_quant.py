@@ -1,0 +1,193 @@
+"""int8 turbo serving tier: checkpoint compatibility, accuracy bounds,
+and the rbg noise option (nn/crn.py _conv_int8, inference.py).
+
+The tier is opt-in and carries NO bit-parity contract with the reference
+— these tests pin (a) the param tree is byte-compatible with the
+unquantized model (weights quantize in-program, checkpoints untouched),
+(b) the quantization error is bounded and the path is actually taken,
+(c) the weakened-but-real determinism contracts of the rbg noise impl.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sg2im_tpu.inference import InferenceEngine
+from sg2im_tpu.models import Sg2ImGenerator
+
+VOCAB = {
+    "object_idx_to_name": ["__image__", "a", "b", "c"],
+    "object_name_to_idx": {"__image__": 0, "a": 1, "b": 2, "c": 3},
+    "pred_idx_to_name": ["__in_image__", "by", "above"],
+    "pred_name_to_idx": {"__in_image__": 0, "by": 1, "above": 2},
+}
+
+MODEL_KWARGS = dict(
+    image_size=(64, 64),
+    embedding_dim=16,
+    gconv_dim=24,
+    gconv_hidden_dim=32,
+    gconv_num_layers=2,
+    refinement_dims=(32, 16, 8),  # stages at 16/32/64 px: two >= the
+    normalization="batch",        # quant_min_res=32 threshold
+    activation="leakyrelu-0.2",
+    mask_size=4,
+    layout_noise_dim=6,
+)
+
+SG = [{"objects": ["a", "b"], "relationships": [[0, "by", 1]]},
+      {"objects": ["c"], "relationships": []}]
+
+
+def _init_variables(**extra):
+    gen = Sg2ImGenerator(vocab=VOCAB, **dict(MODEL_KWARGS, **extra))
+    objs = jnp.zeros((1, 4), jnp.int32)
+    triples = jnp.zeros((1, 3, 3), jnp.int32)
+    masks = jnp.ones((1, 4), jnp.float32), jnp.ones((1, 3), jnp.float32)
+    noise = jnp.zeros((1, 64, 64, 6), jnp.float32)
+    return gen.init({"params": jax.random.PRNGKey(0)}, objs, triples,
+                    *masks, train=False, layout_noise=noise)
+
+
+def test_quant_param_tree_matches_unquantized():
+    """crn_quant='int8' must not change the checkpoint collections
+    (params/batch_stats): weights quantize in-program, so any existing
+    checkpoint loads unchanged.  The tier's only state addition is the
+    'quant' scale collection, which is calibrated, never stored in
+    checkpoints."""
+    base = _init_variables()
+    quant = _init_variables(crn_quant="int8", crn_mode="split",
+                            compute_dtype=jnp.bfloat16)
+    assert set(quant.keys()) - set(base.keys()) == {"quant"}
+    for coll in base:
+        flat_b = jax.tree_util.tree_flatten_with_path(base[coll])[0]
+        flat_q = jax.tree_util.tree_flatten_with_path(quant[coll])[0]
+        paths_b = [(jax.tree_util.keystr(p), v.shape, v.dtype)
+                   for p, v in flat_b]
+        paths_q = [(jax.tree_util.keystr(p), v.shape, v.dtype)
+                   for p, v in flat_q]
+        assert paths_b == paths_q, coll
+
+
+def test_quant_conv_int8_error_bound():
+    """Single quantized conv vs f32: relative error within the symmetric
+    per-channel int8 budget (~1/127 signal-relative)."""
+    from sg2im_tpu.nn.crn import _conv, _conv_int8, _quant_act
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 12), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 12, 8) * 0.1, jnp.float32)
+    ref = _conv(x, k, [(1, 1), (1, 1)])
+    s = jnp.max(jnp.abs(x)) / 127.0
+    got = _conv_int8(_quant_act(x, s), k, s)
+    denom = float(jnp.max(jnp.abs(ref)))
+    rel = float(jnp.max(jnp.abs(got - ref))) / denom
+    assert rel < 0.025, rel
+    assert rel > 0  # the int8 path actually ran
+
+
+def test_quant_engine_output_bounded_vs_bf16():
+    variables = _init_variables()
+    kw = dict(compute_dtype=jnp.bfloat16, crn_mode="split")
+    eng_f = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    eng_q = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw,
+                            quantize="int8")
+    _, out_f = eng_f.generate(SG, noise="zeros")
+    _, out_q = eng_q.generate(SG, noise="zeros")
+    a = np.asarray(out_f["imgs"], np.float32)
+    b = np.asarray(out_q["imgs"], np.float32)
+    scale = np.abs(a).max()
+    rel = np.abs(a - b).max() / (scale + 1e-12)
+    assert 0 < rel < 0.35, rel
+    # Geometry heads are untouched by the CRN tier: boxes bit-identical.
+    np.testing.assert_array_equal(np.asarray(out_f["boxes"]),
+                                  np.asarray(out_q["boxes"]))
+
+
+def test_quant_low_res_stages_unquantized():
+    """quant_min_res: a model whose stages all sit below the threshold
+    must produce BIT-IDENTICAL output with and without the tier."""
+    kw = dict(MODEL_KWARGS, image_size=(16, 16), refinement_dims=(16, 8),
+              layout_noise_dim=0, mask_size=4)
+    variables_kw = dict(kw)
+    gen = Sg2ImGenerator(vocab=VOCAB, **variables_kw)
+    objs = jnp.zeros((1, 4), jnp.int32)
+    triples = jnp.zeros((1, 3, 3), jnp.int32)
+    om, tm = jnp.ones((1, 4), jnp.float32), jnp.ones((1, 3), jnp.float32)
+    variables = gen.init({"params": jax.random.PRNGKey(0)}, objs, triples,
+                         om, tm, train=False)
+    ekw = dict(compute_dtype=jnp.bfloat16, crn_mode="split")
+    eng_f = InferenceEngine(VOCAB, kw, variables, **ekw)
+    eng_q = InferenceEngine(VOCAB, kw, variables, **ekw, quantize="int8")
+    _, out_f = eng_f.generate(SG, noise=None, seed=1)
+    _, out_q = eng_q.generate(SG, noise=None, seed=1)
+    np.testing.assert_array_equal(np.asarray(out_f["imgs"]),
+                                  np.asarray(out_q["imgs"]))
+
+
+def test_quant_calibration_lifecycle():
+    variables = _init_variables()
+    kw = dict(compute_dtype=jnp.bfloat16, crn_mode="split",
+              quantize="int8")
+    eng = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    assert not eng.calibrated
+    # Warmup compiles both program flavors but DISCARDS the trivial
+    # graphs' scales.
+    eng.warmup(batch_sizes=(1,))
+    assert not eng.calibrated
+    eng.calibrate(SG, noise="zeros")
+    assert eng.calibrated
+    scales = jax.tree.map(float, jax.device_get(eng.variables["quant"]))
+    flat = jax.tree_util.tree_leaves(scales)
+    # act_layout scales are legitimately 0.0 here: the untrained
+    # final-ReLU box head emits degenerate boxes, so the composed layout
+    # is identically zero on this model (zero tensor -> zero scale,
+    # floored at 1e-30 when used).  The feats-chain scales must be real.
+    assert flat and all(s >= 0 for s in flat) and any(s > 0 for s in flat)
+    # The static program is deterministic.
+    _, o1 = eng.generate(SG, noise="zeros")
+    _, o2 = eng.generate(SG, noise="zeros")
+    np.testing.assert_array_equal(np.asarray(o1["imgs"]),
+                                  np.asarray(o2["imgs"]))
+    # Re-calibration is a running max: same data -> unchanged scales.
+    eng.calibrate(SG, noise="zeros")
+    scales2 = jax.tree.map(float, jax.device_get(eng.variables["quant"]))
+    assert scales == scales2
+
+    # Auto-calibration: a fresh engine calibrates on its first batch and
+    # serves statically from the second on.
+    eng2 = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    _, a1 = eng2.generate(SG, noise="zeros")
+    assert eng2.calibrated
+    _, a2 = eng2.generate(SG, noise="zeros")
+    np.testing.assert_array_equal(np.asarray(a2["imgs"]),
+                                  np.asarray(o1["imgs"]))
+
+    # calibrate() on a non-quantized engine is an error.
+    eng_f = InferenceEngine(VOCAB, MODEL_KWARGS, variables,
+                            compute_dtype=jnp.bfloat16, crn_mode="split")
+    with pytest.raises(ValueError, match="quantize"):
+        eng_f.calibrate(SG)
+
+
+def test_engine_noise_impl_rbg():
+    variables = _init_variables()
+    eng_t = InferenceEngine(VOCAB, MODEL_KWARGS, variables)
+    eng_r = InferenceEngine(VOCAB, MODEL_KWARGS, variables,
+                            noise_impl="rbg", noise_dtype=jnp.bfloat16)
+    imgs1, _ = eng_r.generate(SG, noise=None, seed=7)
+    imgs2, _ = eng_r.generate(SG, noise=None, seed=7)
+    # Deterministic per (seed, shape): same request -> same bytes.
+    np.testing.assert_array_equal(imgs1, imgs2)
+    imgs3, _ = eng_r.generate(SG, noise=None, seed=8)
+    assert not np.array_equal(imgs1, imgs3)  # the seed is honored
+    imgs_t, _ = eng_t.generate(SG, noise=None, seed=7)
+    assert not np.array_equal(imgs1, imgs_t)  # a different stream
+
+def test_engine_rejects_unknown_tier_options():
+    variables = _init_variables()
+    with pytest.raises(ValueError, match="quantize"):
+        InferenceEngine(VOCAB, MODEL_KWARGS, variables, quantize="int4")
+    with pytest.raises(ValueError, match="noise_impl"):
+        InferenceEngine(VOCAB, MODEL_KWARGS, variables, noise_impl="xor")

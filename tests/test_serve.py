@@ -330,11 +330,14 @@ def test_build_engine_flag_mapping(tmp_path):
         _, ckpt = _make_reference_checkpoint(str(tmp_path))
     args = build_parser().parse_args(
         ["--checkpoint", ckpt, "--bf16", "1", "--dense_precision", "high",
-         "--crn_mode", "split", "--deprocess_on_device", "0"])
+         "--crn_mode", "split", "--deprocess_on_device", "0",
+         "--quantize", "int8", "--noise_impl", "rbg"])
     engine = build_engine(args)
     assert engine.model_kwargs["compute_dtype"] == jnp.bfloat16
     assert engine.model_kwargs["dense_precision"] == "high"
     assert engine.model_kwargs["crn_mode"] == "split"
+    assert engine.model_kwargs["crn_quant"] == "int8"
+    assert engine.noise_impl == "rbg"
     assert engine.deprocess_on_device is False
     # defaults: f32, no overrides, on-device deprocess on
     args = build_parser().parse_args(["--checkpoint", ckpt])
@@ -342,6 +345,8 @@ def test_build_engine_flag_mapping(tmp_path):
     assert "compute_dtype" not in engine.model_kwargs
     assert "dense_precision" not in engine.model_kwargs
     assert "crn_mode" not in engine.model_kwargs
+    assert "crn_quant" not in engine.model_kwargs
+    assert engine.noise_impl == "threefry"
     assert engine.deprocess_on_device is True
 
 
