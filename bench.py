@@ -29,7 +29,15 @@ failure):
 measured in this container (BASELINE_MEASURED.json; methodology inside).
 Driver target: >= 10x (BASELINE.json north_star).
 
+Statistical hygiene (VERDICT r4 weak-#1): every timing field is measured
+as BENCH_REPEATS (default 3) independent windows within the one process;
+the reported value is the MEDIAN and each headline field carries a
+``*_runs`` list (per-window img/s or ms) so round-over-round movement can
+be judged against the same-process dispersion instead of the ±8%
+day-variance folklore.
+
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 10),
+BENCH_REPEATS (default 3) timing windows per metric,
 BENCH_EXTRAS=0 skips the PSNR/train evidence fields, BENCH_MODE=train
 runs ONLY the train-step benchmark as the primary metric.
 """
@@ -172,8 +180,19 @@ def _read_baseline(key: str, default: float) -> float:
     return default
 
 
+def _repeats() -> int:
+    return max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
 def _measure_train(batch: int, iters: int, **cfg_extra):
-    """(sec/step, images/sec, x-vs-CPU-baseline) for the jitted GAN step."""
+    """(sec/step median, images/sec median, x-vs-CPU-baseline,
+    per-window img/s list) for the jitted GAN step."""
     import jax
 
     trainer, state, batch_d = train_step_setup(batch, **cfg_extra)
@@ -182,15 +201,19 @@ def _measure_train(batch: int, iters: int, **cfg_extra):
     batch_d = {k: jax.device_put(v) for k, v in batch_d.items()}
     state, m = trainer.step(state, dict(batch_d))
     float(m["total_loss"])  # forces full sync through the tunnel
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = trainer.step(state, dict(batch_d))
-    float(m["total_loss"])
-    dt = (time.perf_counter() - t0) / iters
+    dts = []
+    for _ in range(_repeats()):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = trainer.step(state, dict(batch_d))
+        float(m["total_loss"])
+        dts.append((time.perf_counter() - t0) / iters)
+    dt = _median(dts)
     baseline_step = _read_baseline("torch_cpu_train_step_sec_coco64_b32",
                                    10.63)
     baseline_ips = 32.0 / baseline_step
-    return dt, batch / dt, (batch / dt) / baseline_ips
+    runs = [round(batch / d, 1) for d in dts]
+    return dt, batch / dt, (batch / dt) / baseline_ips, runs
 
 
 def measure_psnr_vs_reference():
@@ -272,6 +295,16 @@ def measure_psnr_vs_reference():
         ref_u8 = imagenet_deprocess_batch(ref_imgs)
         for field, kw in modes:
             engine = InferenceEngine.from_torch_checkpoint(path, **kw)
+            if kw.get("quantize"):
+                # Production-shaped turbo measurement: auto-calibration
+                # quantizes with the measured batch's own fresh max
+                # scales (the best possible case); served traffic runs
+                # with scales FROZEN from whatever calibrated.  So
+                # calibrate on HALF the graphs, then score the STATIC
+                # serving program on all of them — the other half is
+                # genuinely out-of-calibration data, like production.
+                engine.calibrate(sgs[: max(1, len(sgs) // 2)],
+                                 noise="zeros")
             _, out = engine.generate(sgs, noise="zeros")
             got = np.asarray(out["imgs"], np.float32)[:len(sgs)]
             results[field] = float(psnr(got, ref_imgs, max_val=1.0))
@@ -288,12 +321,13 @@ def measure_psnr_vs_reference():
 def main_train():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    dt, ips, vs = _measure_train(batch, iters)
+    dt, ips, vs, runs = _measure_train(batch, iters)
     print(json.dumps({
         "metric": "coco64_gan_train_step",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2),
+        "value_runs": runs,
     }))
 
 
@@ -320,12 +354,14 @@ def main():
     sync(out)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd_jit(*args)
-    sync(out)
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    ips_runs = []
+    for _ in range(_repeats()):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd_jit(*args)
+        sync(out)
+        ips_runs.append(batch * iters / (time.perf_counter() - t0))
+    ips = _median(ips_runs)
 
     baseline = _read_baseline("torch_cpu_images_per_sec_128", 2.21)
 
@@ -341,10 +377,11 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"WARNING: PSNR extra failed: {e!r}", file=sys.stderr)
         try:
-            dt, tips, tvs = _measure_train(32, iters)
+            dt, tips, tvs, truns = _measure_train(32, iters)
             extras["train_step_ms_b32"] = round(dt * 1000, 2)
             extras["train_img_s_b32"] = round(tips, 1)
             extras["train_vs_baseline_b32"] = round(tvs, 1)
+            extras["train_img_s_b32_runs"] = truns
         except Exception as e:  # pragma: no cover
             print(f"WARNING: train extra failed: {e!r}", file=sys.stderr)
         try:
@@ -352,10 +389,12 @@ def main():
             # split; both opt-in flags, stability proven TRAIN_PROOF.md):
             # measured ~-20% step time vs the reference-numerics default
             # above (PERF.json "train_step").
-            dt, tips, _ = _measure_train(32, iters, bf16_compute=True,
-                                         crn_mode="split")
+            dt, tips, _, fruns = _measure_train(32, iters,
+                                                bf16_compute=True,
+                                                crn_mode="split")
             extras["train_step_ms_b32_fast"] = round(dt * 1000, 2)
             extras["train_img_s_b32_fast"] = round(tips, 1)
+            extras["train_img_s_b32_fast_runs"] = fruns
         except Exception as e:  # pragma: no cover
             print(f"WARNING: fast-train extra failed: {e!r}",
                   file=sys.stderr)
@@ -377,12 +416,17 @@ def main():
                             obj_mask=args[3], triple_mask=args[4])
             float(engine.generate_batch(gb, seed=0)["imgs"].sum())
             float(engine.generate_batch(gb, seed=1)["imgs"].sum())
-            t0 = time.perf_counter()
-            for i in range(iters):
-                outs = engine.generate_batch(gb, seed=i + 2)
-            float(outs["imgs"].sum())
-            dts = (time.perf_counter() - t0) / iters
-            extras["serve_img_s_random"] = round(batch / dts, 1)
+            serve_runs = []
+            for r in range(_repeats()):
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    outs = engine.generate_batch(
+                        gb, seed=r * iters + i + 2)
+                float(outs["imgs"].sum())
+                serve_runs.append(
+                    round(batch * iters / (time.perf_counter() - t0), 1))
+            extras["serve_img_s_random"] = round(_median(serve_runs), 1)
+            extras["serve_img_s_random_runs"] = serve_runs
 
             # TURBO serving tier (opt-in, no bit-parity contract):
             # calibrated int8-resident CRN stage convs + hardware-rbg
@@ -395,12 +439,17 @@ def main():
                                     noise_dtype=jnp.bfloat16)
             float(eng_t.generate_batch(gb, seed=0)["imgs"].sum())  # cal
             float(eng_t.generate_batch(gb, seed=1)["imgs"].sum())
-            t0 = time.perf_counter()
-            for i in range(iters):
-                outs = eng_t.generate_batch(gb, seed=i + 2)
-            float(outs["imgs"].sum())
-            dtt = (time.perf_counter() - t0) / iters
-            extras["turbo_img_s"] = round(batch / dtt, 1)
+            turbo_runs = []
+            for r in range(_repeats()):
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    outs = eng_t.generate_batch(
+                        gb, seed=r * iters + i + 2)
+                float(outs["imgs"].sum())
+                turbo_runs.append(
+                    round(batch * iters / (time.perf_counter() - t0), 1))
+            extras["turbo_img_s"] = round(_median(turbo_runs), 1)
+            extras["turbo_img_s_runs"] = turbo_runs
         except Exception as e:  # pragma: no cover
             print(f"WARNING: serve extra failed: {e!r}", file=sys.stderr)
 
@@ -409,6 +458,7 @@ def main():
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2),
+        "value_runs": [round(r, 1) for r in ips_runs],
         **extras,
     }))
 

@@ -422,7 +422,17 @@ class _Dispatcher:
     queue), and whole requests rotate across them — replicas execute
     concurrently on their own chips with no cross-chip collectives.
     Same-seed reproducibility holds across replicas: every replica runs
-    the identical program on identical params."""
+    the identical program on identical params.
+
+    int8 tier (``--quantize int8``): the activation-scale calibration is
+    shared, not per-replica.  The FIRST request is routed to replica 0
+    (serializing any concurrent arrivals behind it), whose engine
+    auto-calibrates on that batch; the recorded 'quant' scales are then
+    copied to every replica before normal dispatch resumes — so all
+    replicas run the identical static program and the reproducibility
+    contract above holds for quantized serving too (per-replica
+    auto-calibration would give each chip different scales and make a
+    request's bytes depend on routing)."""
 
     def __init__(self, engines, max_graphs: int, window_ms: float):
         self.batchers = [_Batcher(e, max_graphs, window_ms)
@@ -430,8 +440,40 @@ class _Dispatcher:
         self.window_ms = window_ms
         self._next = 0
         self._lock = threading.Lock()
+        self._cal_lock = threading.Lock()
+        self._needs_cal = any(
+            e.model_kwargs.get("crn_quant") is not None and not e.calibrated
+            for e in engines)
+
+    def _share_calibration(self):
+        """Copy replica 0's calibrated 'quant' scales to every replica
+        (scales are a handful of scalars — the device_put is free)."""
+        import jax
+
+        src = self.batchers[0].engine
+        q = src.variables.get("quant")
+        if q is None:
+            return
+        for b in self.batchers[1:]:
+            e = b.engine
+            e.variables = {
+                **e.variables,
+                "quant": (jax.device_put(q, e.device)
+                          if e.device is not None else q),
+            }
 
     def submit(self, sgs, noise_mode: str, seed: int):
+        if self._needs_cal:
+            with self._cal_lock:
+                if self._needs_cal:
+                    # Calibration request: replica 0 records the scales
+                    # on this batch (its output is a valid turbo
+                    # response), then every replica gets a copy.
+                    result = self.batchers[0].submit(sgs, noise_mode, seed)
+                    if self.batchers[0].engine.calibrated:
+                        self._share_calibration()
+                        self._needs_cal = False
+                    return result
         with self._lock:
             n = len(self.batchers)
             start = self._next

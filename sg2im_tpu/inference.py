@@ -246,6 +246,31 @@ class InferenceEngine:
         self.variables = {k: v for k, v in self.variables.items()
                           if k != "quant"}
 
+    @staticmethod
+    def _warn_zero_scales(quant):
+        """Exactly-zero calibrated scales mean the calibration data never
+        activated that tensor (e.g. a trivial/empty scene graph): real
+        traffic through it would quantize to ±127 against the 1e-30
+        floor and dequantize to ~0 — output collapse, not the graceful
+        saturation the tier promises for merely out-of-range values.
+        Warn loudly; zero scales CAN be legitimate (a tensor that is
+        identically zero on every input this model can produce, e.g. the
+        degenerate-box layouts of untrained test checkpoints)."""
+        import warnings
+
+        flat = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(quant))[0]
+        zeros = [jax.tree_util.keystr(p) for p, v in flat
+                 if float(np.asarray(v)) == 0.0]
+        if zeros:
+            warnings.warn(
+                "int8 calibration recorded ZERO activation scale(s) at "
+                f"{zeros} — the calibration batch never activated those "
+                "tensors (unrepresentative data, e.g. trivial/empty "
+                "scene graphs); real traffic through them will collapse "
+                "to ~0 after dequantization.  Re-run calibrate() on "
+                "representative scene graphs.", stacklevel=3)
+
     def calibrate(self, scene_graphs, noise=None, seed: int = 0):
         """Record (or extend, if already calibrated — running max) the
         int8 tier's activation scales on REPRESENTATIVE scene graphs.
@@ -373,6 +398,7 @@ class InferenceEngine:
         if calibrating:
             out, quant = out
             self.variables = {**self.variables, "quant": quant}
+            self._warn_zero_scales(quant)
         imgs, boxes, masks, rel_scores = out[:4]
         result = {"imgs": imgs, "boxes": boxes, "masks": masks,
                   "rel_scores": rel_scores}

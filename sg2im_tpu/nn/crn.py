@@ -97,37 +97,27 @@ def _conv_int8(xq, kernel, s_x, padding=((1, 1), (1, 1))):
     return y.astype(jnp.float32) * (s_x * sw)
 
 
-def _quant_conv(mdl, tag, x, kernel, padding=((1, 1), (1, 1))):
-    """Quantize ``x`` with its calibrated scale, then int8 conv."""
-    s = _act_scale(mdl, tag, x)
-    return _conv_int8(_quant_act(x, s), kernel, s, padding)
-
-
 class QuantConv3x3(nn.Module):
     """int8-path replacement for the stage's second ``nn.Conv``.  Param
     tree IDENTICAL to the ``nn.Conv`` it replaces ('kernel' (3,3,cin,co) +
     'bias'), so checkpoints and the converter are unaffected.
 
-    ``__call__(x, s_in)``: with ``s_in`` given, ``x`` is already int8 at
-    that scale (the producer's epilogue emitted it — the resident path);
-    otherwise ``x`` is quantized here with this module's own calibrated
-    scale."""
+    ``__call__(x, s_in)``: ``x`` is already int8 at per-tensor scale
+    ``s_in`` (the producer's epilogue emitted it — the int8-resident
+    path; every call site hands the scale over, there is no
+    self-quantizing variant)."""
 
     input_dim: int
     output_dim: int
     compute_dtype: object = None
 
     @nn.compact
-    def __call__(self, x, s_in=None):
+    def __call__(self, x, s_in):
         kernel = self.param("kernel", kaiming_normal_init(),
                             (3, 3, self.input_dim, self.output_dim))
         bias = self.param("bias", torch_linear_bias_init(self.input_dim * 9),
                           (self.output_dim,))
-        if s_in is None:
-            out = _quant_conv(self, "act_in", x, kernel)
-        else:
-            out = _conv_int8(x, kernel, s_in)
-        return out + bias
+        return _conv_int8(x, kernel, s_in) + bias
 
 
 # ---------------------------------------------------------------------------

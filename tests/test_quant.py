@@ -140,10 +140,12 @@ def test_quant_calibration_lifecycle():
     assert eng.calibrated
     scales = jax.tree.map(float, jax.device_get(eng.variables["quant"]))
     flat = jax.tree_util.tree_leaves(scales)
-    # act_layout scales are legitimately 0.0 here: the untrained
-    # final-ReLU box head emits degenerate boxes, so the composed layout
-    # is identically zero on this model (zero tensor -> zero scale,
-    # floored at 1e-30 when used).  The feats-chain scales must be real.
+    # Some scales (the 'act_up' feats-handoff ones) can legitimately be
+    # 0.0 here: the untrained final-ReLU box head emits degenerate
+    # boxes, so parts of the feats chain are identically zero on this
+    # model (zero tensor -> zero scale, floored at 1e-30 when used —
+    # and warned about, see test_quant_zero_scale_warning).  At least
+    # one real scale must be recorded.
     assert flat and all(s >= 0 for s in flat) and any(s > 0 for s in flat)
     # The static program is deterministic.
     _, o1 = eng.generate(SG, noise="zeros")
@@ -169,6 +171,53 @@ def test_quant_calibration_lifecycle():
                             compute_dtype=jnp.bfloat16, crn_mode="split")
     with pytest.raises(ValueError, match="quantize"):
         eng_f.calibrate(SG)
+
+
+def test_quant_zero_scale_warning():
+    """A calibration pass that records an exactly-zero activation scale
+    (unrepresentative data) must warn — later traffic through that
+    tensor collapses to ~0 after dequantization, which is output
+    collapse, not graceful saturation."""
+    import warnings
+
+    quant = {"mod": {"act_up": jnp.float32(0.0),
+                     "act_mid": jnp.float32(0.5)}}
+    with pytest.warns(UserWarning, match="ZERO activation scale"):
+        InferenceEngine._warn_zero_scales(quant)
+    with warnings.catch_warnings():  # all-nonzero scales: no warning
+        warnings.simplefilter("error")
+        InferenceEngine._warn_zero_scales(
+            {"mod": {"act_up": jnp.float32(0.1)}})
+
+
+def test_quant_replica_calibration_shared():
+    """--replicas + --quantize int8: the _Dispatcher routes the FIRST
+    request to replica 0, whose auto-calibration scales are then copied
+    to every replica — all replicas serve the identical static program,
+    so a request's bytes cannot depend on round-robin routing."""
+    from sg2im_tpu.cli.serve import _Dispatcher
+
+    variables = _init_variables()
+    kw = dict(compute_dtype=jnp.bfloat16, crn_mode="split",
+              quantize="int8")
+    devs = jax.devices()
+    engines = [InferenceEngine(VOCAB, MODEL_KWARGS, variables,
+                               device=devs[i], **kw) for i in range(2)]
+    disp = _Dispatcher(engines, max_graphs=8, window_ms=0.0)
+    assert disp._needs_cal
+    disp.submit(SG, "zeros", 0)
+    assert not disp._needs_cal
+    assert all(e.calibrated for e in engines)
+    s0 = jax.tree.map(float, jax.device_get(engines[0].variables["quant"]))
+    s1 = jax.tree.map(float, jax.device_get(engines[1].variables["quant"]))
+    assert s0 == s1
+    # Round-robin now alternates replicas: the same request + seed must
+    # be byte-identical whichever replica serves it.
+    a, _ = disp.submit(SG, "zeros", 3)
+    b, _ = disp.submit(SG, "zeros", 3)
+    np.testing.assert_array_equal(a, b)
+    per_replica = [bt.engine_calls for bt in disp.batchers]
+    assert sorted(per_replica) == [1, 2], per_replica
 
 
 def test_engine_noise_impl_rbg():
