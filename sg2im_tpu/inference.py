@@ -35,10 +35,17 @@ class InferenceEngine:
                  mesh=None, compute_dtype=None, dense_precision=None,
                  crn_mode=None, deprocess_on_device: bool = False,
                  device=None, quantize=None, noise_impl=None,
-                 noise_dtype=None):
+                 noise_dtype=None, tensor_parallel: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         generation batches shard over it (params replicated), scaling
         serving throughput across chips.
+
+        ``tensor_parallel``: with ``mesh``, additionally shard the GCN
+        hidden dimension over the mesh's 'model' axis
+        (``parallel.mesh.tp_generator_sharding`` — the framework's real
+        TP rule).  Opt-in because the split hidden-dim contraction is
+        psum'd across chips: equal to the replicated mode within f32
+        tolerance, not bitwise.
 
         ``device``: optional ``jax.Device`` to pin THIS engine to (params
         and every per-call array committed there) — the per-chip replica
@@ -126,10 +133,21 @@ class InferenceEngine:
         if mesh is not None and device is not None:
             raise ValueError("mesh and device are mutually exclusive")
         if mesh is not None:
-            from sg2im_tpu.parallel.mesh import replicate_state
+            if tensor_parallel:
+                # Shard the GCN hidden dimension over the mesh's 'model'
+                # axis (Megatron column/row-parallel rule; GSPMD inserts
+                # the psum).  Results are f32-tolerance equal to the
+                # replicated mode, not bitwise (the hidden-dim sum splits
+                # across chips) — that is why this is opt-in.
+                from sg2im_tpu.parallel.mesh import shard_generator_tp
 
-            variables = replicate_state(
-                jax.tree.map(jnp.asarray, variables), mesh)
+                variables = shard_generator_tp(
+                    jax.tree.map(jnp.asarray, variables), mesh)
+            else:
+                from sg2im_tpu.parallel.mesh import replicate_state
+
+                variables = replicate_state(
+                    jax.tree.map(jnp.asarray, variables), mesh)
         if device is not None:
             variables = jax.device_put(variables, device)
         self.variables = jax.tree.map(jnp.asarray, variables)

@@ -81,6 +81,55 @@ def test_model_axis_train_step_matches_data_only():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_tensor_parallel_gcn_hidden_sharded_and_equal():
+    """The REAL tensor-parallel rule (VERDICT r4 #7): with
+    ``tensor_parallel=True`` on a 4x2 mesh the GCN hidden dimension is
+    ACTUALLY sharded over 'model' (not merely replicated across a live
+    axis), and generation matches the replicated engine within f32
+    tolerance (the hidden-dim contraction is psum'd across chips)."""
+    from jax.sharding import PartitionSpec as P
+
+    from sg2im_tpu.inference import InferenceEngine
+    from sg2im_tpu.parallel.mesh import tp_generator_sharding
+
+    config = TrainConfig(**dict(TINY, batch_size=8))
+    trainer = Trainer(config, VOCAB, mesh=False)
+    trainer.mesh = None
+    state = trainer.init_state(seed=0)
+    g_vars = jax.device_get(state.g_vars)
+    sg = {"objects": ["cat", "dog"], "relationships": [[0, "left of", 1]]}
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    # The sharding rule actually hits the GCN MLPs.
+    shardings = tp_generator_sharding(mesh, g_vars)
+    specs = {jax.tree_util.keystr(p): s.spec for p, s in
+             jax.tree_util.tree_flatten_with_path(shardings)[0]}
+    k0 = "['params']['gconv']['net1']['layer0']['kernel']"
+    k2 = "['params']['gconv']['net1']['layer2']['kernel']"
+    assert specs[k0] == P(None, "model"), specs[k0]
+    assert specs[k2] == P("model", None), specs[k2]
+
+    eng_rep = InferenceEngine(VOCAB, config.generator_kwargs(), g_vars,
+                              mesh=mesh)
+    eng_tp = InferenceEngine(VOCAB, config.generator_kwargs(), g_vars,
+                             mesh=mesh, tensor_parallel=True)
+    # The TP engine's params are REALLY sharded on device.
+    leaf = eng_tp.variables["params"]["gconv"]["net1"]["layer0"]["kernel"]
+    assert leaf.sharding.spec == P(None, "model"), leaf.sharding
+    assert len(leaf.addressable_shards) == 8
+    shard_shape = leaf.addressable_shards[0].data.shape
+    assert shard_shape[1] == leaf.shape[1] // 2, (shard_shape, leaf.shape)
+
+    _, out_rep = eng_rep.generate([sg] * 4, noise=None, seed=3)
+    _, out_tp = eng_tp.generate([sg] * 4, noise=None, seed=3)
+    a = np.asarray(out_rep["imgs"], np.float64)
+    b = np.asarray(out_tp["imgs"], np.float64)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_rep["boxes"]),
+                               np.asarray(out_tp["boxes"]),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_model_axis_engine_generation_matches_data_only():
     """Mesh-sharded serving with a live 'model' axis: 4x2 == 4x1 bit-for-
     bit (engine params replicated over both axes, batch sharded on
