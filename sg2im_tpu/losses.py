@@ -116,10 +116,25 @@ def cross_entropy(logits, labels, mask=None):
 
 
 def binary_cross_entropy(probs, targets, mask=None):
-    """BCE on probabilities (mask loss, ``scripts/train.py:401-403``)."""
+    """BCE on probabilities (mask loss, ``scripts/train.py:401-403``).
+
+    ``probs`` is clamped to [1e-7, 1 - 1e-7] so the BACKWARD is bounded
+    by construction.  Without the clamp, a saturated upstream sigmoid
+    (f32 ``sigmoid(x) == 1.0`` exactly for x >~ 16.6 — observed in real
+    training by step 30) makes ``(1 - t) / (1 - p + eps)`` ~1e12; eager
+    cancels it against the sigmoid's ``p * (1 - p) == 0`` VJP factor,
+    but XLA's fused backward evaluates the same jaxpr in an order that
+    produces ``0 * inf = NaN`` — a jit-only NaN with a finite loss that
+    poisoned entire runs (localized in round 5; the train step's guard
+    now also skips such steps, but the loss itself must not manufacture
+    them).  torch's ``F.binary_cross_entropy`` bounds the same corner by
+    clamping ``log`` at -100; forward delta vs the unclamped form is
+    <= ~1e-7 per element, far inside the 2e-4 loss-parity tolerance
+    (tests/test_losses.py)."""
     eps = 1e-12
-    bce = -(targets * jnp.log(probs + eps)
-            + (1.0 - targets) * jnp.log(1.0 - probs + eps))
+    p = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+    bce = -(targets * jnp.log(p + eps)
+            + (1.0 - targets) * jnp.log(1.0 - p + eps))
     return masked_mean(bce, mask)
 
 

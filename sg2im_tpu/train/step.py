@@ -14,7 +14,19 @@ Faithful to reference ``scripts/train.py:502-592`` per-iteration semantics:
   (``train.py:581-592``); fakes are stop_gradient'ed (torch ``.detach()``).
 - NaN guard: if the G total loss is non-finite, the reference ``continue``s
   — skipping G *and* D updates but still counting the iteration
-  (``train.py:552-555``); here a ``tree_where`` keeps the old state.
+  (``train.py:552-555``).  We guard STRICTLY MORE than the reference, which
+  has two recovery holes observed in practice (a divergence at one step
+  poisons the run permanently):
+    (a) a step whose loss is finite but whose gradients are inf/NaN applies
+        a poisoned param update (``loss.item()`` can't see grad overflow);
+    (b) a NaN forward still writes NaN into BatchNorm running stats (torch
+        updates them during the forward, before the guard fires), so every
+        later forward is NaN even though params were protected.
+  Here ``good`` additionally requires all-finite gradients, and on skip the
+  BN running stats (generator's AND the D stats mutated by the G-pass
+  scoring) revert with the params — the step is a true no-op, training
+  resumes from the last healthy state.  On healthy steps the numerics are
+  bit-identical to the reference semantics.
 - Losses over padded batches use validity masks so means equal the
   reference's ragged-batch means.
 """
@@ -30,6 +42,17 @@ import optax
 
 from sg2im_tpu import losses as L
 from sg2im_tpu.train.state import TrainState, tree_where
+
+
+def _all_finite(tree):
+    """Traced bool: every leaf of ``tree`` is all-finite.  The per-tensor
+    isfinite+reduce fuses into the optimizer's read of the same gradients,
+    so the check is HBM-free."""
+    leaves = jax.tree.leaves(tree)
+    if not leaves:
+        return jnp.asarray(True)
+    return functools.reduce(jnp.logical_and,
+                            [jnp.isfinite(l).all() for l in leaves])
 
 
 def _split_vars(variables):
@@ -264,15 +287,14 @@ def make_train_step(generator, d_obj, d_img, config, optimizers=None):
                 batch, noise, eval_mode)
         metrics = dict(aux["losses"])
 
-        # NaN guard (train.py:552-555): the reference `continue`s when the
-        # G total loss is non-finite — skipping the G backward/step and both
-        # D steps, but AFTER the G forward and the D scoring passes inside
-        # the G loss already ran (torch updates BN running stats during
-        # those forwards).  So on skip: G/D-from-G-pass batch stats are
-        # adopted, while params, optimizer moments, and D-step batch stats
-        # keep their old values.  The param/optimizer skip is folded into
-        # SkippableAdam (zero HBM overhead vs an unguarded step).
-        good = jnp.isfinite(total)
+        # NaN guard (train.py:552-555, strengthened — see module docstring):
+        # skip when the G total loss OR any G gradient is non-finite.  On
+        # skip the whole step is a no-op: params/moments (SkippableAdam),
+        # the generator's batch stats, and the D stats mutated by the
+        # G-pass scoring all keep their old values, so one divergent step
+        # cannot poison the run (the reference's loss-only guard leaves
+        # both params-via-inf-grads and BN-running-stats holes open).
+        good = jnp.logical_and(jnp.isfinite(total), _all_finite(g_grads))
 
         updates, g_opt_new = opts["g"].update(g_grads, state.g_opt, g_params,
                                               good=good)
@@ -282,37 +304,43 @@ def make_train_step(generator, d_obj, d_img, config, optimizers=None):
         new_fields = dict(
             step=state.step + 1,
             rng=rng,
-            g_vars=_merge_vars(g_params_new, aux["g_col"]),
+            g_vars=_merge_vars(g_params_new,
+                               tree_where(good, aux["g_col"], g_col)),
             g_opt=g_opt_new,
         )
 
         d_clip = getattr(config, "d_clip", None)
 
-        def maybe_clip(params):
+        def maybe_clip(params, ok):
             # WGAN weight clip (train.py:116 parses --d_clip but never
             # applies it; we implement the documented intent).  Gated by
-            # ``good`` so a skipped step leaves params bit-identical.
+            # ``ok`` so a skipped step leaves params bit-identical.
             if d_clip is None:
                 return params
             return jax.tree.map(
-                lambda p: jnp.where(good, jnp.clip(p, -d_clip, d_clip), p),
+                lambda p: jnp.where(ok, jnp.clip(p, -d_clip, d_clip), p),
                 params)
 
         if d_obj is not None:
             d_params, d_col = _split_vars(state.d_obj_vars)
             if aux["d_obj_col_new"]:
-                d_col = {**d_col, **aux["d_obj_col_new"]}
+                # G-pass scoring mutated these stats from imgs_pred — on a
+                # G skip imgs_pred may be NaN, so the merge is gated too.
+                d_col = tree_where(good, {**d_col, **aux["d_obj_col_new"]},
+                                   d_col)
             d_col_pre = d_col
             (d_total, (d_losses, d_col)), d_grads = jax.value_and_grad(
                 d_obj_losses_fn, has_aux=True)(
                     d_params, d_col, imgs_fake, batch["imgs"], batch)
-            # On skip the reference never runs the D-step passes, so their
-            # BN-stat mutations are dropped (stats are per-channel vectors;
-            # the select is negligible).
-            d_col = tree_where(good, d_col, d_col_pre)
+            # A D update additionally requires its OWN grads finite; on
+            # skip the D-step BN-stat mutations are dropped (stats are
+            # per-channel vectors; the select is negligible).
+            d_good = jnp.logical_and(good, _all_finite(d_grads))
+            d_col = tree_where(d_good, d_col, d_col_pre)
             du, d_opt_new = opts["d_obj"].update(d_grads, state.d_obj_opt,
-                                                 d_params, good=good)
-            d_params_new = maybe_clip(optax.apply_updates(d_params, du))
+                                                 d_params, good=d_good)
+            d_params_new = maybe_clip(optax.apply_updates(d_params, du),
+                                      d_good)
             new_fields["d_obj_vars"] = _merge_vars(d_params_new, d_col)
             new_fields["d_obj_opt"] = d_opt_new
             metrics.update(d_losses)
@@ -320,15 +348,18 @@ def make_train_step(generator, d_obj, d_img, config, optimizers=None):
         if d_img is not None:
             d_params, d_col = _split_vars(state.d_img_vars)
             if aux["d_img_col_new"]:
-                d_col = {**d_col, **aux["d_img_col_new"]}
+                d_col = tree_where(good, {**d_col, **aux["d_img_col_new"]},
+                                   d_col)
             d_col_pre = d_col
             (d_total, (d_losses, d_col)), d_grads = jax.value_and_grad(
                 d_img_losses_fn, has_aux=True)(
                     d_params, d_col, imgs_fake, batch["imgs"])
-            d_col = tree_where(good, d_col, d_col_pre)
+            d_good = jnp.logical_and(good, _all_finite(d_grads))
+            d_col = tree_where(d_good, d_col, d_col_pre)
             du, d_opt_new = opts["d_img"].update(d_grads, state.d_img_opt,
-                                                 d_params, good=good)
-            d_params_new = maybe_clip(optax.apply_updates(d_params, du))
+                                                 d_params, good=d_good)
+            d_params_new = maybe_clip(optax.apply_updates(d_params, du),
+                                      d_good)
             new_fields["d_img_vars"] = _merge_vars(d_params_new, d_col)
             new_fields["d_img_opt"] = d_opt_new
             metrics.update(d_losses)

@@ -391,6 +391,107 @@ def test_nan_guard_keeps_optimizer_moments():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_nan_guard_is_full_state_noop_and_recovers():
+    """The strengthened guard (train/step.py module docstring): a skipped
+    step must leave the ENTIRE state — params, optimizer moments, and every
+    BatchNorm running stat of G and both Ds — bit-identical (only step/rng
+    advance), and the next healthy step must train normally.  Guards the
+    two reference recovery holes: NaN forwards poisoning BN running stats,
+    and finite-loss/non-finite-grad steps poisoning params (observed: a
+    real CPU run died permanently at step 31 of 60 before this fix)."""
+    config = TrainConfig(**TINY)
+    trainer = Trainer(config, VOCAB)
+    state = trainer.init_state(seed=0)
+    rng = np.random.RandomState(3)
+    batch = _rand_batch(rng, config)
+    state, _ = trainer.step(state, dict(batch))  # one good step
+
+    def snap(s):
+        return jax.tree.map(np.asarray, (
+            s.g_vars, s.d_obj_vars, s.d_img_vars,
+            s.g_opt, s.d_obj_opt, s.d_img_opt))
+
+    before = snap(state)
+    bad = dict(batch)
+    bad["imgs"] = batch["imgs"] + np.nan  # NaN forward through every path
+    state2, metrics = trainer.step(state, bad)
+    assert bool(metrics["skipped_nonfinite"])
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(snap(state2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # recovery: the next clean step trains from the last healthy state
+    state3, m3 = trainer.step(state2, dict(batch))
+    assert not bool(m3["skipped_nonfinite"])
+    assert np.isfinite(float(m3["total_loss"]))
+    changed = any(
+        not np.array_equal(a, b) for a, b in zip(
+            jax.tree.leaves(before[0]), jax.tree.leaves(state3.g_vars)))
+    assert changed  # the good step actually updated the generator
+
+
+def test_nonfinite_grads_skip_update():
+    """SkippableAdam + the step's _all_finite gate: gradients containing
+    inf/NaN (even when the loss scalar is finite) must not touch params or
+    moments — hole (a) in the module docstring."""
+    from sg2im_tpu.train.step import SkippableAdam, _all_finite
+
+    opt = SkippableAdam(1e-3)
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    st = opt.init(params)
+    grads = {"w": jnp.full((4,), jnp.inf), "b": jnp.ones((2,))}
+    good = _all_finite(grads)
+    assert not bool(good)
+    upd, st2 = opt.update(grads, st, good=good)
+    assert all(float(np.abs(np.asarray(u)).max()) == 0.0
+               for u in jax.tree.leaves(upd))
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert bool(_all_finite({"w": jnp.ones((3,))}))
+
+
+def test_bce_backward_finite_at_sigmoid_saturation():
+    """Regression for a jit-only NaN observed at step 30 of a real run:
+    f32 ``sigmoid(x) == 1.0`` exactly for x >~ 16.6, and the unclamped
+    BCE-on-probs backward then pairs a ~1e12 ``1/(1-p+eps)`` term with
+    the sigmoid's ``p*(1-p) == 0`` VJP factor — eager cancels to 0, but
+    XLA's fused backward produced ``0 * inf = NaN`` (finite loss, NaN
+    grads, GCN params poisoned).  losses.binary_cross_entropy now clamps
+    probs to [1e-7, 1-1e-7]; the grad must be finite under BOTH
+    dispatch modes and the forward within 2e-4 of torch."""
+    from sg2im_tpu import losses as L
+
+    rng = np.random.RandomState(0)
+    scores = jnp.asarray(rng.randn(4, 6, 8, 8) * 2.0, jnp.float32)
+    # saturate a block well past the f32 sigmoid cliff (observed: 17.27)
+    scores = scores.at[0].set(20.0).at[1].set(-20.0)
+    targets = jnp.asarray((rng.rand(4, 6, 8, 8) > 0.5), jnp.float32)
+    mask = jnp.asarray(rng.rand(4, 6) > 0.3, jnp.float32)
+
+    def loss(s):
+        return L.binary_cross_entropy(jax.nn.sigmoid(s), targets, mask)
+
+    g_eager = jax.grad(loss)(scores)
+    g_jit = jax.jit(jax.grad(loss))(scores)
+    assert bool(jnp.isfinite(g_eager).all())
+    assert bool(jnp.isfinite(g_jit).all())
+    # Forward parity vs torch on the UNSATURATED blocks (|score| <= ~8,
+    # clamp provably inactive).  At exact saturation both frameworks make
+    # arbitrary bounded choices for an infinite loss (torch clamps log at
+    # -100, we clamp p at 1e-7) — no parity contract there, only
+    # finiteness (asserted above).
+    from sg2im_tpu import losses as L
+
+    v = float(L.binary_cross_entropy(jax.nn.sigmoid(scores[2:]),
+                                     targets[2:], mask[2:]))
+    ref = F.binary_cross_entropy(
+        torch.sigmoid(torch.from_numpy(np.asarray(scores[2:]))),
+        torch.from_numpy(np.asarray(targets[2:])),
+        reduction="none")
+    m = torch.from_numpy(
+        np.asarray(mask[2:]))[:, :, None, None].expand_as(ref)
+    ref_v = float((ref * m).sum() / m.sum())
+    assert abs(v - ref_v) < 2e-4
+
+
 def test_d_clip_bounds_discriminator_params():
     """--d_clip (WGAN weight clip): D params bounded after each step; G
     params unaffected by the clip."""
