@@ -77,12 +77,26 @@ def build_parser():
                    help="TURBO tier: int8 MXU path for the high-res CRN "
                         "stage convs (measured accuracy trade — see "
                         "SERVING.md; checkpoints unaffected)")
+    p.add_argument("--quantize_head", default=None, type=bool_flag,
+                   help="int8 tier: quantize the CRN output head's 3x3 "
+                        "(False = standard exempt-the-last-layer "
+                        "practice; frontier in SERVING.md)")
+    p.add_argument("--quantize_max_res", default=None, type=int,
+                   help="int8 tier: only quantize CRN stages whose "
+                        "layout resolution is <= this (exempts the "
+                        "highest-res stages; frontier in SERVING.md)")
     p.add_argument("--noise_impl", default=None,
                    choices=[None, "threefry", "rbg"],
                    help="'rbg' = hardware PRNG for the per-request noise "
                         "draw (2.1x draw rate; deterministic per "
                         "seed+batch shape only — coalescing/bucketing "
                         "changes a request's noise)")
+    p.add_argument("--noise_downsample", default=1, type=int,
+                   choices=[1, 2, 4],
+                   help="draw per-request layout noise at (H/f, W/f) and "
+                        "nearest-upsample on-chip: 1/f^2 the random bits "
+                        "(turbo tier — the noise channel becomes "
+                        "block-constant over fxf tiles)")
     p.add_argument("--deprocess_on_device", default=True, type=bool_flag,
                    help="fold deprocess into the TPU program (uint8 out, "
                         "4x less device->host traffic)")
@@ -128,9 +142,23 @@ def build_engines(args):
         kw["crn_mode"] = args.crn_mode
     if getattr(args, "quantize", None):
         kw["quantize"] = args.quantize
+        qo = {}
+        if getattr(args, "quantize_head", None) is not None:
+            qo["head"] = args.quantize_head
+        if getattr(args, "quantize_max_res", None) is not None:
+            qo["max_res"] = args.quantize_max_res
+        if qo:
+            kw["quant_opts"] = qo
+    elif (getattr(args, "quantize_head", None) is not None
+          or getattr(args, "quantize_max_res", None) is not None):
+        raise SystemExit(
+            "--quantize_head/--quantize_max_res require --quantize int8")
     ni = getattr(args, "noise_impl", None)
     if ni and ni != "threefry":
         kw["noise_impl"] = ni
+    nd = getattr(args, "noise_downsample", 1) or 1
+    if nd != 1:
+        kw["noise_downsample"] = nd
     kw["deprocess_on_device"] = args.deprocess_on_device
     n_rep = getattr(args, "replicas", 1) or 1
     if n_rep < 1:

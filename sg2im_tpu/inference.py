@@ -34,8 +34,9 @@ class InferenceEngine:
     def __init__(self, vocab, model_kwargs, variables, pad_align: int = 8,
                  mesh=None, compute_dtype=None, dense_precision=None,
                  crn_mode=None, deprocess_on_device: bool = False,
-                 device=None, quantize=None, noise_impl=None,
-                 noise_dtype=None, tensor_parallel: bool = False):
+                 device=None, quantize=None, quant_opts=None,
+                 noise_impl=None, noise_dtype=None, noise_downsample: int = 1,
+                 tensor_parallel: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         generation batches shard over it (params replicated), scaling
         serving throughput across chips.
@@ -94,7 +95,17 @@ class InferenceEngine:
         the reference-bit path).  ``jnp.bfloat16`` halves the draw's
         generation cost and HBM write; the CRN consumes compute_dtype
         anyway, so in bf16 mode the only delta is rounding the normals
-        themselves.  Turbo-tier option (no bit-parity contract)."""
+        themselves.  Turbo-tier option (no bit-parity contract).
+
+        ``noise_downsample``: draw the seeded layout noise at
+        (H/f, W/f) and nearest-upsample on-chip (f in {1, 2, 4};
+        default 1 = full-res reference path).  f=2 generates 4x fewer
+        random bits — the draw is the dominant term of the serve-vs-raw
+        gap (SERVING.md) — at the cost of a CHANGED noise distribution:
+        the layout noise channel becomes block-constant over fxf pixel
+        tiles (spatially correlated instead of iid).  Turbo-tier option:
+        affects only the seeded in-program draw (``noise=None``);
+        explicit noise arrays and 'zeros' are untouched."""
         # The seeded in-program noise path's reproducibility contract (same
         # graph+seed -> same image regardless of pad bucket, coalesced
         # batch, or mesh sharding) requires partitionable threefry (the
@@ -106,6 +117,16 @@ class InferenceEngine:
             raise ValueError(f"unknown noise_impl {noise_impl!r}")
         self.noise_impl = noise_impl or "threefry"
         self.noise_dtype = noise_dtype
+        if noise_downsample not in (1, 2, 4):
+            raise ValueError(
+                f"noise_downsample must be 1, 2, or 4, got "
+                f"{noise_downsample!r}")
+        H_chk, W_chk = (model_kwargs or {}).get("image_size", (64, 64))
+        if H_chk % noise_downsample or W_chk % noise_downsample:
+            raise ValueError(
+                f"noise_downsample {noise_downsample} does not divide "
+                f"image_size ({H_chk}, {W_chk})")
+        self.noise_downsample = int(noise_downsample)
         if self.noise_impl == "threefry" and \
                 not jax.config.jax_threefry_partitionable:
             import warnings
@@ -127,6 +148,16 @@ class InferenceEngine:
             if quantize != "int8":
                 raise ValueError(f"unknown quantize tier {quantize!r}")
             self.model_kwargs["crn_quant"] = quantize
+            # Selective-quantization knobs (the turbo fidelity/throughput
+            # frontier, SERVING.md): {'head': bool — quantize the output
+            # head's 3x3; 'min_res'/'max_res': int — stage layout-
+            # resolution band to quantize}.
+            for k, v in dict(quant_opts or {}).items():
+                if k not in ("head", "min_res", "max_res"):
+                    raise ValueError(f"unknown quant_opts key {k!r}")
+                self.model_kwargs[f"crn_quant_{k}"] = v
+        elif quant_opts:
+            raise ValueError("quant_opts requires quantize='int8'")
         self.model = Sg2ImGenerator(vocab=vocab, **self.model_kwargs)
         self.mesh = mesh
         self.device = device
@@ -247,9 +278,15 @@ class InferenceEngine:
                 key = jax.random.key(seed, impl="rbg")
             else:
                 key = jax.random.PRNGKey(seed)
+            f = self.noise_downsample
             noise = jax.random.normal(
-                key, (objs.shape[0], H, W, noise_dim),
+                key, (objs.shape[0], H // f, W // f, noise_dim),
                 dtype=self.noise_dtype or jnp.float32)
+            if f > 1:
+                # Nearest-upsample on-chip (turbo tier): 1/f^2 the random
+                # bits; the noise channel becomes block-constant over fxf
+                # tiles — see the constructor docstring.
+                noise = jnp.repeat(jnp.repeat(noise, f, axis=1), f, axis=2)
             return self._apply(variables, objs, triples, obj_mask,
                                triple_mask, noise, calibrate=calibrate)
 

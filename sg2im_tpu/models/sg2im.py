@@ -120,6 +120,11 @@ class Sg2ImGenerator(nn.Module):
     #   (fidelity recorded per round in BENCH_*.json) — never a default;
     #   parameters and checkpoints are unaffected (weights quantize
     #   in-program from the stored f32 kernels).
+    crn_quant_head: bool = True   # quantize the CRN output head's 3x3
+    #   (False = standard exempt-the-last-layer int8 practice; frontier
+    #   sweep: scripts/profile_turbo_frontier.py)
+    crn_quant_min_res: int = 32   # quantize stages whose layout level is
+    crn_quant_max_res: int = 1 << 30  # ... within [min_res, max_res]
 
     @nn.compact
     def __call__(self, objs, triples, obj_mask=None, triple_mask=None,
@@ -278,6 +283,9 @@ class Sg2ImGenerator(nn.Module):
             conv0_mode=("split" if self.crn_mode == "split_noise"
                         else self.crn_mode),
             quant=self.crn_quant,
+            quant_head=self.crn_quant_head,
+            quant_min_res=self.crn_quant_min_res,
+            quant_max_res=self.crn_quant_max_res,
             name="refinement_net",
         )(layout, train=train, noise=noise_sep)
         return imgs, boxes_pred, masks_pred, rel_scores

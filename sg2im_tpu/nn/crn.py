@@ -649,6 +649,16 @@ class RefinementNetwork(nn.Module):
     #                             feed everything downstream, so keeping
     #                             them in compute_dtype buys fidelity for
     #                             ~no throughput
+    quant_max_res: int = 1 << 30  # ... and <= this: exempting the LAST
+    #                             (highest-res) stage trades its int8 win
+    #                             for fidelity (frontier sweep:
+    #                             scripts/profile_turbo_frontier.py)
+    quant_head: bool = True     # quantize the output head's 3x3 conv when
+    #                             the last stage is quantized.  False =
+    #                             standard int8 practice (exempt the last
+    #                             layer): the head conv feeds the RGB
+    #                             projection directly, so its quant noise
+    #                             is unsmoothed by any downstream conv
 
     @nn.compact
     def __call__(self, layout, train: bool = False, noise=None):
@@ -714,7 +724,8 @@ class RefinementNetwork(nn.Module):
         # int8 handoff — the producing epilogue writes int8 and the next
         # stage's upsample+conv consume it without a requantization pass).
         q_flags = [self.quant == "int8"
-                   and pyramid[i - 1].shape[1] >= self.quant_min_res
+                   and self.quant_min_res <= pyramid[i - 1].shape[1]
+                   <= self.quant_max_res
                    for i in range(1, len(self.dims))]
         feats_scale = None
         for i in range(1, len(self.dims)):
@@ -752,11 +763,12 @@ class RefinementNetwork(nn.Module):
                     noise_dim=noise_dim,
                     quant=q_flags[i - 1],
                     # Emit int8 when the consumer is quantized: the next
-                    # stage, or (for the last stage) the output head's
-                    # 3x3 conv — measured +0.7 ms at b128 (head_resident,
-                    # scripts/profile_quant_stage.py).
+                    # stage, or (for the last stage, iff quant_head) the
+                    # output head's 3x3 conv — measured +0.7 ms at b128
+                    # (head_resident, scripts/profile_quant_stage.py).
                     emit_q=(q_flags[i - 1]
-                            and (i >= len(q_flags) or q_flags[i])),
+                            and (q_flags[i] if i < len(q_flags)
+                                 else self.quant_head)),
                     name=f"refinement_modules_{i - 1}",
                 )(level, feats, train=train, noise=noise_pyramid[i - 1],
                   feats_scale=feats_scale)

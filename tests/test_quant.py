@@ -240,3 +240,69 @@ def test_engine_rejects_unknown_tier_options():
         InferenceEngine(VOCAB, MODEL_KWARGS, variables, quantize="int4")
     with pytest.raises(ValueError, match="noise_impl"):
         InferenceEngine(VOCAB, MODEL_KWARGS, variables, noise_impl="xor")
+
+def test_quant_selective_knobs():
+    """quant_opts (the turbo frontier knobs): exempting the head / the
+    high-res stages must (a) change the output vs the full tier (the
+    exemption is real), (b) move it TOWARD the unquantized engine, and
+    (c) degrade to bit-identical-with-unquantized when every stage is
+    exempted."""
+    variables = _init_variables()
+    kw = dict(compute_dtype=jnp.bfloat16, crn_mode="split")
+    eng_f = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    eng_q = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw,
+                            quantize="int8")
+    eng_h = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw,
+                            quantize="int8", quant_opts={"head": False})
+    eng_none = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw,
+                               quantize="int8", quant_opts={"max_res": 8})
+    ref = np.asarray(eng_f.generate(SG, noise="zeros")[1]["imgs"],
+                     np.float32)
+    full = np.asarray(eng_q.generate(SG, noise="zeros")[1]["imgs"],
+                      np.float32)
+    head = np.asarray(eng_h.generate(SG, noise="zeros")[1]["imgs"],
+                      np.float32)
+    none = np.asarray(eng_none.generate(SG, noise="zeros")[1]["imgs"],
+                      np.float32)
+    assert not np.array_equal(full, head)  # the head exemption is real
+    # exempting the head moves the output toward the unquantized engine
+    assert np.abs(head - ref).mean() < np.abs(full - ref).mean()
+    # all-exempt == the unquantized program, bit for bit
+    np.testing.assert_array_equal(none, np.asarray(
+        eng_f.generate(SG, noise="zeros")[1]["imgs"], np.float32))
+
+
+def test_quant_opts_requires_tier():
+    variables = _init_variables()
+    with pytest.raises(ValueError, match="quant_opts"):
+        InferenceEngine(VOCAB, MODEL_KWARGS, variables,
+                        quant_opts={"head": False})
+    with pytest.raises(ValueError, match="unknown quant_opts"):
+        InferenceEngine(VOCAB, MODEL_KWARGS, variables, quantize="int8",
+                        quant_opts={"stage": 3})
+
+
+def test_noise_downsample_turbo_knob():
+    """noise_downsample (turbo element-reduction lever): f=2 draws the
+    seeded layout noise at (H/2, W/2) and nearest-upsamples on-chip.
+    Pins: (a) only the SEEDED path changes (zeros-noise outputs bit-equal
+    to f=1), (b) the seeded output actually changes, (c) it stays
+    deterministic per seed, and (d) invalid factors are rejected."""
+    variables = _init_variables()
+    eng1 = InferenceEngine(VOCAB, MODEL_KWARGS, variables)
+    eng2 = InferenceEngine(VOCAB, MODEL_KWARGS, variables,
+                           noise_downsample=2)
+    z1 = np.asarray(eng1.generate(SG, noise="zeros")[1]["imgs"])
+    z2 = np.asarray(eng2.generate(SG, noise="zeros")[1]["imgs"])
+    np.testing.assert_array_equal(z1, z2)  # zeros path untouched
+    s1 = np.asarray(eng1.generate(SG, noise=None, seed=3)[1]["imgs"])
+    s2 = np.asarray(eng2.generate(SG, noise=None, seed=3)[1]["imgs"])
+    assert not np.array_equal(s1, s2)  # the half-res draw is real
+    s2b = np.asarray(eng2.generate(SG, noise=None, seed=3)[1]["imgs"])
+    np.testing.assert_array_equal(s2, s2b)  # deterministic per seed
+    assert np.isfinite(s2).all()
+    with pytest.raises(ValueError, match="noise_downsample"):
+        InferenceEngine(VOCAB, MODEL_KWARGS, variables, noise_downsample=3)
+    with pytest.raises(ValueError, match="does not divide"):
+        InferenceEngine(VOCAB, dict(MODEL_KWARGS, image_size=(66, 66)),
+                        variables, noise_downsample=4)
