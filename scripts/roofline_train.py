@@ -15,9 +15,19 @@ driver-captured ``train_step_ms_b32``):
                      steps, NaN guard)
 
 Each row: wall ms (tunnel-sync fenced, dispatch floor subtracted), XLA
-post-fusion cost-model FLOPs/bytes, achieved TF/s and GB/s as % of the
-same-run measured chip peaks.  Appends ``train_step_sections`` (+ the
-train peaks) into PERF.json.
+post-fusion cost-model FLOPs, and PHYSICAL HBM bytes (VERDICT r4 #4):
+the cost model's "bytes accessed" counts logical post-fusion accesses
+and exceeds physical peak 2x on fused sections, so the certification
+bytes here are the compiled program's post-DCE argument+output buffer
+sizes (``compiled.memory_analysis()``) — a hard LOWER bound on HBM
+traffic (every argument byte is read and every output byte written at
+least once; intermediates/spills only add).  From flops and min-bytes
+we derive each section's speed-of-light time ``sol_ms = max(flops /
+mxu_peak, min_bytes / hbm_peak)`` and report ``pct_sol`` (<= 100 by
+construction) and ``headroom_x = ms / sol_ms`` — the factor the section
+could at BEST improve if it hit both measured peaks.  The cost-model
+bytes stay as ``mbytes_costmodel`` context.  Appends
+``train_step_sections`` (+ the train peaks) into PERF.json.
 
 Usage: python -u scripts/roofline_train.py [batch] [config]
        config: 'baseline' (f32 legacy, default) | 'fast'
@@ -62,14 +72,20 @@ def measure_jit(name, fn, args, iters=20):
         return float(jnp.asarray(leaf).astype(jnp.float32).sum())
 
     jfn = jax.jit(fn)
-    flops = bytes_ = None
+    flops = bytes_ = io_min = None
     try:
-        ca = jfn.lower(*args).compile().cost_analysis()
+        compiled = jfn.lower(*args).compile()
+        ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = ca.get("flops")
         bytes_ = ca.get("bytes accessed")
+        # Physical lower bound on HBM traffic: post-DCE argument+output
+        # buffers (aliased/donated pairs counted once).  See module doc.
+        ma = compiled.memory_analysis()
+        io_min = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                  - ma.alias_size_in_bytes)
     except Exception as e:  # pragma: no cover
-        print(f"  ({name}: cost_analysis unavailable: {e!r})",
+        print(f"  ({name}: cost/memory analysis unavailable: {e!r})",
               file=sys.stderr)
     out = jfn(*args)
     fence(out)
@@ -81,7 +97,7 @@ def measure_jit(name, fn, args, iters=20):
     fence(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
     ms = max(ms - R._DISPATCH_FLOOR_MS, 0.05)
-    return ms, flops, bytes_
+    return ms, flops, bytes_, io_min
 
 
 def main():
@@ -128,26 +144,39 @@ def main():
 
     rows = []
 
-    def add(name, ms, flops, bytes_):
+    def add(name, ms, flops, bytes_cost, io_min):
         tfs = (flops / (ms / 1e3) / 1e12) if flops else None
-        gbs = (bytes_ / (ms / 1e3) / 1e9) if bytes_ else None
+        gbs_min = (io_min / (ms / 1e3) / 1e9) if io_min else None
         pm = tfs / mm_peak if tfs else None
-        ph = gbs / hbm_peak if gbs else None
+        ph = gbs_min / hbm_peak if gbs_min else None
+        # Speed-of-light: the section cannot run faster than its FLOPs at
+        # MXU peak nor than its physical-minimum bytes at HBM peak.
+        sol_ms = None
+        if flops is not None and io_min is not None:
+            sol_ms = max(flops / 1e12 / mm_peak, io_min / 1e9 / hbm_peak) \
+                * 1e3
         rows.append({
             "section": name, "ms": round(ms, 3),
             "gflops": round(flops / 1e9, 2) if flops else None,
-            "mbytes": round(bytes_ / 1e6, 1) if bytes_ else None,
+            "mbytes_io_min": round(io_min / 1e6, 1) if io_min else None,
+            "mbytes_costmodel": (round(bytes_cost / 1e6, 1)
+                                 if bytes_cost else None),
             "tflops_s": round(tfs, 1) if tfs else None,
-            "gb_s": round(gbs, 1) if gbs else None,
+            "gb_s_min": round(gbs_min, 1) if gbs_min else None,
             "pct_mxu_peak": round(100 * pm, 1) if pm else None,
             "pct_hbm_peak": round(100 * ph, 1) if ph else None,
+            "sol_ms": round(sol_ms, 3) if sol_ms else None,
+            "pct_sol": (round(100 * sol_ms / ms, 1) if sol_ms else None),
+            "headroom_x": (round(ms / sol_ms, 2) if sol_ms else None),
             "bound": (None if pm is None or ph is None
                       else ("mxu" if pm >= ph else "hbm")),
         })
         print(f"{name:20s} {ms:8.3f} ms  {(flops or 0) / 1e9:8.1f} GF  "
-              f"{(bytes_ or 0) / 1e6:7.0f} MB  "
+              f"{(io_min or 0) / 1e6:7.0f} MBmin  "
               f"mxu {rows[-1]['pct_mxu_peak'] or 0:5.1f}%  "
               f"hbm {rows[-1]['pct_hbm_peak'] or 0:5.1f}%  "
+              f"sol {rows[-1]['pct_sol'] or 0:5.1f}%  "
+              f"headroom {rows[-1]['headroom_x'] or 0:4.2f}x  "
               f"{rows[-1]['bound']}")
 
     fns = trainer.train_step.phase_fns
@@ -212,6 +241,13 @@ def main():
         "batch": batch, "config": cfg,
         "peaks": {"bf16_matmul_tflops_s": round(mm_peak, 1),
                   "hbm_copy_gb_s": round(hbm_peak, 1)},
+        "note": "mbytes_io_min = post-DCE argument+output buffers "
+                "(compiled.memory_analysis()) — a hard lower bound on "
+                "physical HBM traffic; pct_sol = speed-of-light "
+                "max(flops@mxu_peak, io_min@hbm_peak) over measured ms; "
+                "headroom_x = the at-best improvement factor.  "
+                "mbytes_costmodel (XLA logical bytes) kept for context "
+                "only — it exceeds physical peak on fused sections.",
         "sections": rows,
     }
     with open(perf_path, "w") as f:
