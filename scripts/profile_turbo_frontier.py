@@ -37,10 +37,15 @@ from sg2im_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 CONFIGS = [
-    # (name, quant_opts or None for the r4 tier, note)
-    ("turbo_r4", None, "s3/s4/s5 + head 3x3 (round-4 tier)"),
-    ("head_exempt", {"head": False}, "s3/s4/s5, head unquantized"),
-    ("s5_exempt", {"max_res": 64}, "s3/s4 only (head follows: unquantized)"),
+    # (name, quant_opts, note).  Since the round-5 adoption the ENGINE
+    # default is {'max_res': 64} (the s5_exempt row below); every row
+    # here spells its band out explicitly so re-runs measure the same
+    # configs regardless of what the default is.
+    ("turbo_r4", {"max_res": None}, "s3/s4/s5 + head 3x3 (round-4 tier)"),
+    ("head_exempt", {"head": False, "max_res": None},
+     "s3/s4/s5, head unquantized"),
+    ("s5_exempt", {"max_res": 64},
+     "s3/s4 only (head follows: unquantized) — ADOPTED as the default"),
     ("s3s4_only_head", {"max_res": 64, "head": True},
      "same as s5_exempt (head needs the last stage quantized)"),
 ]

@@ -80,11 +80,15 @@ def build_parser():
     p.add_argument("--quantize_head", default=None, type=bool_flag,
                    help="int8 tier: quantize the CRN output head's 3x3 "
                         "(False = standard exempt-the-last-layer "
-                        "practice; frontier in SERVING.md)")
+                        "practice; frontier in SERVING.md).  Default: "
+                        "follows the engine's adopted tier (the head is "
+                        "exempt whenever its input stage is)")
     p.add_argument("--quantize_max_res", default=None, type=int,
                    help="int8 tier: only quantize CRN stages whose "
-                        "layout resolution is <= this (exempts the "
-                        "highest-res stages; frontier in SERVING.md)")
+                        "layout resolution is <= this.  Default 64 (the "
+                        "adopted round-5 tier: 44.4 dB u8 gate at +13% "
+                        "— frontier in SERVING.md); 0 or negative = "
+                        "unbounded (the round-4 full band)")
     p.add_argument("--noise_impl", default=None,
                    choices=[None, "threefry", "rbg"],
                    help="'rbg' = hardware PRNG for the per-request noise "
@@ -146,7 +150,10 @@ def build_engines(args):
         if getattr(args, "quantize_head", None) is not None:
             qo["head"] = args.quantize_head
         if getattr(args, "quantize_max_res", None) is not None:
-            qo["max_res"] = args.quantize_max_res
+            # 0 / negative = unbounded (engine None = the model default),
+            # the round-4 full band.
+            qo["max_res"] = (args.quantize_max_res
+                             if args.quantize_max_res > 0 else None)
         if qo:
             kw["quant_opts"] = qo
     elif (getattr(args, "quantize_head", None) is not None

@@ -80,6 +80,11 @@ class InferenceEngine:
         quantization in-program, checkpoints unaffected).  A measured
         accuracy trade for throughput; fidelity is recorded per round in
         BENCH_*.json and SERVING.md.  Default ``None`` (no quantization).
+        ``quant_opts`` selects the tier's stage band (per-key merge into
+        the adopted default ``{'max_res': 64}`` — stages above 64 px and
+        the head exempt; 44.4 dB u8 gate at +13% measured; an explicit
+        ``{'max_res': None}`` restores the unbounded round-4 band, +19%
+        at 42.2 dB with ``{'head': False}`` — frontier in SERVING.md).
 
         ``noise_impl``: PRNG implementation for the seeded in-program
         layout-noise draw.  Default threefry (the JAX default) carries
@@ -151,10 +156,24 @@ class InferenceEngine:
             # Selective-quantization knobs (the turbo fidelity/throughput
             # frontier, SERVING.md): {'head': bool — quantize the output
             # head's 3x3; 'min_res'/'max_res': int — stage layout-
-            # resolution band to quantize}.
-            for k, v in dict(quant_opts or {}).items():
+            # resolution band to quantize}.  The DEFAULT tier is the
+            # round-5 adopted frontier point 'max_res': 64 — stages above
+            # 64 px layout resolution (and therefore the head, which
+            # follows its input stage) stay unquantized: measured on v5e
+            # at vg128/b128 production-shaped, 44.4 dB u8 gate at +13%
+            # serving throughput, vs 38.6 dB for the unbounded round-4
+            # band (below the 40 dB north star once scored on
+            # out-of-calibration inputs).  Per-key overrides merge into
+            # the default; an explicit None value restores the model's
+            # unbounded default for that key (e.g. {'max_res': None} is
+            # the full round-4 band).
+            opts = {"max_res": 64}
+            opts.update(dict(quant_opts or {}))
+            for k, v in opts.items():
                 if k not in ("head", "min_res", "max_res"):
                     raise ValueError(f"unknown quant_opts key {k!r}")
+                if v is None:
+                    continue
                 self.model_kwargs[f"crn_quant_{k}"] = v
         elif quant_opts:
             raise ValueError("quant_opts requires quantize='int8'")

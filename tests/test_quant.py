@@ -272,6 +272,49 @@ def test_quant_selective_knobs():
         eng_f.generate(SG, noise="zeros")[1]["imgs"], np.float32))
 
 
+def test_quant_default_tier_is_adopted_band():
+    """The engine's DEFAULT int8 tier is the round-5 adopted frontier
+    point {'max_res': 64} (stages above 64 px layout resolution — and
+    therefore the head — exempt: 44.4 dB u8 gate at +13% measured on
+    v5e, SERVING.md).  Pins: (a) the default merges to max_res=64,
+    (b) per-key overrides EXTEND the default rather than replace it,
+    (c) an explicit None value restores the unbounded round-4 band,
+    (d) for a 128 px model the default tier == an explicit
+    {'max_res': 64} bitwise and differs from the unbounded band."""
+    variables = _init_variables()
+    eng_d = InferenceEngine(VOCAB, MODEL_KWARGS, variables, quantize="int8")
+    assert eng_d.model_kwargs["crn_quant_max_res"] == 64
+    eng_h = InferenceEngine(VOCAB, MODEL_KWARGS, variables, quantize="int8",
+                            quant_opts={"head": False})
+    assert eng_h.model_kwargs["crn_quant_max_res"] == 64  # merged, kept
+    assert eng_h.model_kwargs["crn_quant_head"] is False
+    eng_r4 = InferenceEngine(VOCAB, MODEL_KWARGS, variables,
+                             quantize="int8", quant_opts={"max_res": None})
+    assert "crn_quant_max_res" not in eng_r4.model_kwargs  # unbounded
+
+    # Functional check on a model that HAS a stage above 64 px: the
+    # default band must equal the explicit 64-cap bitwise and differ
+    # from the unbounded round-4 band (the s5 exemption is real).
+    kw128 = dict(MODEL_KWARGS, image_size=(128, 128),
+                 refinement_dims=(16, 12, 8, 6), layout_noise_dim=0)
+    gen = Sg2ImGenerator(vocab=VOCAB, **kw128)
+    objs = jnp.zeros((1, 4), jnp.int32)
+    triples = jnp.zeros((1, 3, 3), jnp.int32)
+    om, tm = jnp.ones((1, 4), jnp.float32), jnp.ones((1, 3), jnp.float32)
+    v128 = gen.init({"params": jax.random.PRNGKey(0)}, objs, triples,
+                    om, tm, train=False)
+    ekw = dict(compute_dtype=jnp.bfloat16, crn_mode="split")
+    outs = {}
+    for name, qo in (("default", None), ("cap64", {"max_res": 64}),
+                     ("r4", {"max_res": None})):
+        e = InferenceEngine(VOCAB, kw128, v128, **ekw, quantize="int8",
+                            quant_opts=qo)
+        outs[name] = np.asarray(e.generate(SG, noise="zeros")[1]["imgs"],
+                                np.float32)
+    np.testing.assert_array_equal(outs["default"], outs["cap64"])
+    assert not np.array_equal(outs["default"], outs["r4"])
+
+
 def test_quant_opts_requires_tier():
     variables = _init_variables()
     with pytest.raises(ValueError, match="quant_opts"):

@@ -337,8 +337,16 @@ def test_build_engine_flag_mapping(tmp_path):
     assert engine.model_kwargs["dense_precision"] == "high"
     assert engine.model_kwargs["crn_mode"] == "split"
     assert engine.model_kwargs["crn_quant"] == "int8"
+    # the adopted default band travels through the CLI untouched
+    assert engine.model_kwargs["crn_quant_max_res"] == 64
     assert engine.noise_impl == "rbg"
     assert engine.deprocess_on_device is False
+    # --quantize_max_res 0 = unbounded (the round-4 full band)
+    args = build_parser().parse_args(
+        ["--checkpoint", ckpt, "--quantize", "int8",
+         "--quantize_max_res", "0"])
+    engine = build_engine(args)
+    assert "crn_quant_max_res" not in engine.model_kwargs
     # defaults: f32, no overrides, on-device deprocess on
     args = build_parser().parse_args(["--checkpoint", ckpt])
     engine = build_engine(args)
