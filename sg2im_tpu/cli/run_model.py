@@ -63,6 +63,13 @@ def build_parser():
                              "SERVING.md/BENCH; no bit-parity contract). "
                              "Checkpoints are unaffected (weights "
                              "quantize in-program)")
+    parser.add_argument("--calibration_file", default=None,
+                        help="int8 tier: load activation scales saved by "
+                             "serve --save_calibration (otherwise the "
+                             "engine calibrates on the request batch "
+                             "itself) — byte-reproducible turbo output "
+                             "across runs and vs a server using the same "
+                             "file")
     parser.add_argument("--noise_impl", default=None,
                         choices=["threefry", "rbg"],
                         help="PRNG for --noise random: 'rbg' (hardware "
@@ -105,6 +112,11 @@ def main(args=None):
         noise_impl=(None if args.noise_impl == "threefry"
                     else args.noise_impl),
         deprocess_on_device=bool(args.deprocess_device))
+    if args.calibration_file:
+        if args.quantize != "int8":
+            print("ERROR: --calibration_file requires --quantize int8")
+            return 1
+        engine.load_calibration(args.calibration_file)
 
     with open(args.scene_graphs_json) as f:
         scene_graphs = json.load(f)

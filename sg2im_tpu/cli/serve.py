@@ -89,6 +89,22 @@ def build_parser():
                         "adopted round-5 tier: 44.4 dB u8 gate at +13% "
                         "— frontier in SERVING.md); 0 or negative = "
                         "unbounded (the round-4 full band)")
+    p.add_argument("--calibration_file", default=None,
+                   help="int8 tier: load activation scales saved by "
+                        "--save_calibration (InferenceEngine."
+                        "load_calibration) at startup — reproducible "
+                        "deployments: no first-traffic auto-calibration, "
+                        "restarts serve identical bytes")
+    p.add_argument("--calibrate_graphs", default=None,
+                   help="int8 tier: path to a scene-graphs JSON (same "
+                        "schema as /generate) to calibrate on at startup "
+                        "— representative data instead of whatever the "
+                        "first request happens to be")
+    p.add_argument("--save_calibration", default=None,
+                   help="int8 tier: write the activation scales to this "
+                        "path once calibrated (at startup with "
+                        "--calibrate_graphs, else after the first-traffic "
+                        "auto-calibration) for --calibration_file reuse")
     p.add_argument("--noise_impl", default=None,
                    choices=[None, "threefry", "rbg"],
                    help="'rbg' = hardware PRNG for the per-request noise "
@@ -204,6 +220,55 @@ def build_engine(args):
     """Single-engine construction (kept for callers/tests that predate
     ``--replicas``; equals ``build_engines(args)[0]``)."""
     return build_engines(args)[0]
+
+
+def startup_calibration(args, engines):
+    """Apply the int8 calibration-file flags before warmup.
+
+    --calibration_file loads saved scales into every engine;
+    --calibrate_graphs calibrates engine 0 on a scene-graphs JSON and
+    copies the scales to the other replicas (the same sharing rule the
+    dispatcher uses for first-traffic calibration, so all replicas run
+    the identical static program); --save_calibration writes the scales
+    now if either produced them (otherwise the first-traffic hook in
+    _State writes them later).  Returns True if a save happened."""
+    cf = getattr(args, "calibration_file", None)
+    cg = getattr(args, "calibrate_graphs", None)
+    sv = getattr(args, "save_calibration", None)
+    if not (cf or cg or sv):
+        return False
+    if getattr(args, "quantize", None) != "int8":
+        raise SystemExit(
+            "--calibration_file/--calibrate_graphs/--save_calibration "
+            "require --quantize int8")
+    if cf and cg:
+        raise SystemExit(
+            "--calibration_file and --calibrate_graphs are mutually "
+            "exclusive (load saved scales OR measure fresh ones)")
+    if cf:
+        for e in engines:
+            e.load_calibration(cf)
+        print(f"loaded int8 calibration from {cf}", flush=True)
+    elif cg:
+        with open(cg) as f:
+            sgs = json.load(f)
+        if isinstance(sgs, dict):
+            sgs = [sgs]
+        engines[0].calibrate(sgs)
+        if len(engines) > 1:
+            import jax
+
+            quant = engines[0].variables["quant"]
+            for e in engines[1:]:
+                e.variables = {**e.variables,
+                               "quant": jax.device_put(quant, e.device)}
+        print(f"calibrated int8 scales on {len(sgs)} scene graph(s) "
+              f"from {cg}", flush=True)
+    if sv and engines[0].calibrated:
+        engines[0].save_calibration(sv)
+        print(f"saved int8 calibration to {sv}", flush=True)
+        return True
+    return False
 
 
 def _png_bytes(img_u8: np.ndarray) -> bytes:
@@ -542,11 +607,16 @@ class _State:
     """Engine(s) + batcher/dispatcher + counters shared across handler
     threads."""
 
-    def __init__(self, engine, max_graphs: int, window_ms: float = 0.0):
+    def __init__(self, engine, max_graphs: int, window_ms: float = 0.0,
+                 save_calibration: str | None = None):
         engines = engine if isinstance(engine, (list, tuple)) else [engine]
         self.engines = list(engines)
         self.engine = self.engines[0]
         self.max_graphs = max_graphs
+        # --save_calibration without startup calibration: write the
+        # scales once the first-traffic auto-calibration records them.
+        self.save_calibration_path = save_calibration
+        self._calibration_saved = False
         if len(self.engines) > 1:
             self.batcher = _Dispatcher(self.engines, max_graphs, window_ms)
         else:
@@ -576,6 +646,23 @@ class _State:
         with self._stats_lock:
             key = str(code)
             self.errors[key] = self.errors.get(key, 0) + 1
+
+    def maybe_save_calibration(self):
+        """First-traffic hook for --save_calibration: once the int8 tier
+        has calibrated (the dispatcher/batcher handled the scale sharing),
+        write the scales exactly once."""
+        if not self.save_calibration_path or self._calibration_saved:
+            return
+        e = self.engine
+        if e.model_kwargs.get("crn_quant") is None or not e.calibrated:
+            return
+        with self._stats_lock:
+            if self._calibration_saved:
+                return
+            self._calibration_saved = True
+        e.save_calibration(self.save_calibration_path)
+        print(f"saved int8 calibration to {self.save_calibration_path}",
+              flush=True)
 
     def stats_snapshot(self):
         """(requests, images, errors) read consistently under the same
@@ -673,7 +760,7 @@ def make_handler(state: _State):
             if path not in ("/healthz", ""):
                 return self._reply(404, {"error": "unknown path"})
             e = state.engine
-            return self._reply(200, {
+            payload = {
                 "status": "ok",
                 "image_size": list(e.model_kwargs.get("image_size",
                                                       (64, 64))),
@@ -683,7 +770,11 @@ def make_handler(state: _State):
                 "images": state.images,
                 "engine_calls": state.batcher.engine_calls,
                 "batched_requests": state.batcher.batched_requests,
-            })
+            }
+            if e.model_kwargs.get("crn_quant") is not None:
+                payload["int8_calibrated"] = all(
+                    x.calibrated for x in state.engines)
+            return self._reply(200, payload)
 
         def do_POST(self):
             if self.path.split("?")[0].rstrip("/") != "/generate":
@@ -737,6 +828,7 @@ def make_handler(state: _State):
                     base64.b64encode(np.ascontiguousarray(img).tobytes())
                     .decode("ascii") for img in imgs]
             state.count(len(sgs))
+            state.maybe_save_calibration()
             # boxes: per graph, one [x0,y0,x1,y1] per NAMED object (the
             # encoder appends the __image__ node and pads the object dim
             # to a bucket — both trimmed here so the response shape
@@ -776,6 +868,7 @@ def serve_forever(args, ready_event=None):
     # multi-minute TPU compile again.
     enable_compile_cache()
     engines = build_engines(args)
+    saved = startup_calibration(args, engines)
     if args.warmup:
         print(f"warming buckets {list(args.warmup)} ...", flush=True)
         for i, e in enumerate(engines):
@@ -783,7 +876,10 @@ def serve_forever(args, ready_event=None):
             tag = f" replica {i} ({e.device})" if len(engines) > 1 else ""
             print(f"warmed padded shapes{tag}: {shapes}", flush=True)
     state = _State(engines, args.max_graphs,
-                   window_ms=args.batch_window_ms)
+                   window_ms=args.batch_window_ms,
+                   save_calibration=(None if saved
+                                     else getattr(args, "save_calibration",
+                                                  None)))
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(state))
     if ready_event is not None:

@@ -363,6 +363,121 @@ class InferenceEngine:
         self.generate(scene_graphs, noise=noise, seed=seed,
                       deprocess=False, _calibrate=True)
 
+    # -- calibration files (scale provenance) -------------------------------
+    #
+    # The int8 tier's activation scales are measured on data, so they are
+    # deployment state: a server restarted from the same checkpoint would
+    # otherwise re-derive them from whatever its first traffic happens to
+    # be.  save/load make them an explicit, reviewable artifact — the
+    # serving counterpart of a checkpoint (serve --calibrate_graphs /
+    # --save_calibration / --calibration_file wire these up).
+
+    CALIBRATION_FORMAT = "sg2im_tpu.int8_calibration.v1"
+    _QUANT_KNOBS = ("head", "min_res", "max_res")
+
+    def _quant_band(self):
+        """The engine's selective-quantization band (None = model default
+        for that knob) — saved alongside scales so a file can't silently
+        apply to a different band."""
+        return {k: self.model_kwargs.get(f"crn_quant_{k}")
+                for k in self._QUANT_KNOBS}
+
+    def _expected_quant_tree(self):
+        """Abstract 'quant' collection for THIS engine's model + band via
+        ``jax.eval_shape`` (traces the calibration apply — no compile, no
+        execution, batch-size independent: the scales are per-tensor
+        scalars)."""
+        noise_dim = self.model_kwargs.get("layout_noise_dim", 0) or 0
+        H, W = self.model_kwargs.get("image_size", (64, 64))
+        params = {k: v for k, v in self.variables.items() if k != "quant"}
+        noise = (jax.ShapeDtypeStruct((1, H, W, noise_dim), jnp.float32)
+                 if noise_dim else None)
+        _, quant = jax.eval_shape(
+            functools.partial(self._apply, calibrate=True), params,
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, 3), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            noise)
+        return quant
+
+    def save_calibration(self, path):
+        """Write the calibrated activation scales to ``path`` (JSON).
+
+        The file carries the quantization band for validation on load and
+        one float per scale tag.  Scales are f32 scalars; JSON's
+        shortest-round-trip float repr is exact for the f64 that holds an
+        f32 value, so a save/load cycle is bit-exact
+        (test_calibration_save_load_roundtrip)."""
+        import json
+
+        from flax import core as flax_core
+        from flax import traverse_util
+
+        if self.model_kwargs.get("crn_quant") is None:
+            raise ValueError("save_calibration() requires quantize='int8'")
+        if not self.calibrated:
+            raise ValueError(
+                "engine is not calibrated — call calibrate() on "
+                "representative scene graphs (or serve a batch) first")
+        flat = traverse_util.flatten_dict(
+            flax_core.unfreeze(jax.device_get(self.variables["quant"])),
+            sep="/")
+        payload = {
+            "format": self.CALIBRATION_FORMAT,
+            "quant_band": self._quant_band(),
+            "scales": {k: float(np.float32(v)) for k, v in flat.items()},
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+
+    def load_calibration(self, path):
+        """Load activation scales saved by :meth:`save_calibration`.
+
+        Validates the file's quantization band and its scale-tag set
+        against THIS engine's model + band (via an eval_shape trace of the
+        calibration program) before replacing any state, so a file from a
+        different band, model config, or tier version fails loudly instead
+        of quantizing with wrong scales.  Zero scales warn exactly as a
+        live calibration pass would."""
+        import json
+
+        from flax import traverse_util
+
+        if self.model_kwargs.get("crn_quant") is None:
+            raise ValueError("load_calibration() requires quantize='int8'")
+        with open(path) as f:
+            payload = json.load(f)
+        fmt = payload.get("format")
+        if fmt != self.CALIBRATION_FORMAT:
+            raise ValueError(
+                f"{path}: not an int8 calibration file (format={fmt!r}, "
+                f"expected {self.CALIBRATION_FORMAT!r})")
+        band = payload.get("quant_band", {})
+        mine = self._quant_band()
+        if {k: band.get(k) for k in self._QUANT_KNOBS} != mine:
+            raise ValueError(
+                f"{path}: calibration band {band} does not match this "
+                f"engine's {mine} — scales are band-specific; re-calibrate "
+                "or construct the engine with matching quant_opts")
+        from flax import core as flax_core
+
+        expected = traverse_util.flatten_dict(
+            flax_core.unfreeze(self._expected_quant_tree()), sep="/")
+        got = payload.get("scales", {})
+        missing = sorted(set(expected) - set(got))
+        extra = sorted(set(got) - set(expected))
+        if missing or extra:
+            raise ValueError(
+                f"{path}: scale tags do not match this model/band "
+                f"(missing {missing}, unexpected {extra})")
+        quant = traverse_util.unflatten_dict(
+            {k: jnp.float32(v) for k, v in got.items()}, sep="/")
+        if self.device is not None:
+            quant = jax.device_put(quant, self.device)
+        self.variables = {**self.variables, "quant": quant}
+        self._warn_zero_scales(quant)
+
     def generate_batch(self, batch: GraphBatch, noise=None, seed: int = 0,
                        _calibrate: bool = False):
         """Run the generator on an encoded GraphBatch.

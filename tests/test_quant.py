@@ -315,6 +315,90 @@ def test_quant_default_tier_is_adopted_band():
     assert not np.array_equal(outs["default"], outs["r4"])
 
 
+def test_calibration_save_load_roundtrip(tmp_path):
+    """Scale provenance (serve --save_calibration / --calibration_file):
+    a calibrated engine's scales save to JSON and load into a FRESH
+    engine bit-exactly — same output bytes, no auto-calibration on the
+    loaded engine's first batch.  JSON floats are exact for f32 values
+    (shortest round-trip repr), so the cycle is bitwise."""
+    variables = _init_variables()
+    kw = dict(compute_dtype=jnp.bfloat16, crn_mode="split",
+              quantize="int8")
+    eng_a = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    eng_a.calibrate(SG)
+    out_a = np.asarray(eng_a.generate(SG, noise="zeros")[1]["imgs"],
+                       np.float32)
+    path = str(tmp_path / "cal.json")
+    eng_a.save_calibration(path)
+
+    eng_b = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    assert not eng_b.calibrated
+    eng_b.load_calibration(path)
+    assert eng_b.calibrated
+    # loaded scales == saved scales bitwise
+    flat_a = jax.tree_util.tree_leaves(
+        jax.device_get(eng_a.variables["quant"]))
+    flat_b = jax.tree_util.tree_leaves(
+        jax.device_get(eng_b.variables["quant"]))
+    np.testing.assert_array_equal(np.float32(flat_a), np.float32(flat_b))
+    out_b = np.asarray(eng_b.generate(SG, noise="zeros")[1]["imgs"],
+                       np.float32)
+    np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_calibration_file_validation(tmp_path):
+    """Loading rejects: wrong format, a different quantization band, and
+    a tag set that doesn't match this model/band — each BEFORE touching
+    engine state.  Zero scales warn exactly as live calibration would."""
+    import json
+
+    variables = _init_variables()
+    kw = dict(compute_dtype=jnp.bfloat16, crn_mode="split",
+              quantize="int8")
+    eng = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    path = str(tmp_path / "cal.json")
+    # save requires calibration; both require the int8 tier
+    with pytest.raises(ValueError, match="not calibrated"):
+        eng.save_calibration(path)
+    eng_f = InferenceEngine(VOCAB, MODEL_KWARGS, variables)
+    with pytest.raises(ValueError, match="quantize='int8'"):
+        eng_f.save_calibration(path)
+    with pytest.raises(ValueError, match="quantize='int8'"):
+        eng_f.load_calibration(path)
+
+    eng.calibrate(SG)
+    eng.save_calibration(path)
+    # band mismatch: same scales, different selective-quant band
+    eng_band = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw,
+                               quant_opts={"max_res": None})
+    with pytest.raises(ValueError, match="band"):
+        eng_band.load_calibration(path)
+    assert not eng_band.calibrated  # state untouched by the failed load
+    # tag mismatch: drop one scale
+    payload = json.loads(open(path).read())
+    dropped = sorted(payload["scales"])[0]
+    del payload["scales"][dropped]
+    bad = str(tmp_path / "cal_bad.json")
+    json.dump(payload, open(bad, "w"))
+    eng_c = InferenceEngine(VOCAB, MODEL_KWARGS, variables, **kw)
+    with pytest.raises(ValueError, match="missing"):
+        eng_c.load_calibration(bad)
+    # wrong format field
+    payload = json.loads(open(path).read())
+    payload["format"] = "something_else"
+    json.dump(payload, open(bad, "w"))
+    with pytest.raises(ValueError, match="format"):
+        eng_c.load_calibration(bad)
+    # zero scales warn on load (output-collapse tripwire, same as live)
+    payload = json.loads(open(path).read())
+    k0 = sorted(payload["scales"])[0]
+    payload["scales"][k0] = 0.0
+    zero = str(tmp_path / "cal_zero.json")
+    json.dump(payload, open(zero, "w"))
+    with pytest.warns(UserWarning, match="ZERO activation scale"):
+        eng_c.load_calibration(zero)
+
+
 def test_quant_opts_requires_tier():
     variables = _init_variables()
     with pytest.raises(ValueError, match="quant_opts"):

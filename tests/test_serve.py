@@ -358,6 +358,74 @@ def test_build_engine_flag_mapping(tmp_path):
     assert engine.deprocess_on_device is True
 
 
+def test_calibration_file_lifecycle(tmp_path):
+    """serve --calibrate_graphs + --save_calibration writes the int8
+    scales at startup; a second server restarted with --calibration_file
+    loads them and serves byte-identical images for the same request —
+    the turbo tier's reproducible-deployment story (no first-traffic
+    auto-calibration anywhere)."""
+    from sg2im_tpu.cli.serve import build_parser, serve_forever
+
+    with _ref_semantics():
+        _, ckpt = _make_reference_checkpoint(str(tmp_path))
+    graphs = str(tmp_path / "calibration_graphs.json")
+    with open(graphs, "w") as f:
+        json.dump([SG], f)
+    cal = str(tmp_path / "scales.json")
+
+    def spin(extra):
+        args = build_parser().parse_args(
+            ["--checkpoint", ckpt, "--port", "0", "--warmup", "1",
+             "--quantize", "int8"] + extra)
+        ready = threading.Event()
+        threading.Thread(target=serve_forever, args=(args, ready),
+                         daemon=True).start()
+        assert ready.wait(timeout=120), "server failed to start"
+        return (ready.httpd,
+                f"http://127.0.0.1:{ready.httpd.server_address[1]}")
+
+    httpd_a, base_a = spin(["--calibrate_graphs", graphs,
+                            "--save_calibration", cal])
+    try:
+        import os
+
+        assert os.path.exists(cal)  # written at startup, before traffic
+        h = _healthz(base_a)
+        assert h["int8_calibrated"] is True
+        a = _post(base_a, {"scene_graphs": [SG], "seed": 7,
+                           "return": "npy"})
+    finally:
+        httpd_a.shutdown()
+
+    httpd_b, base_b = spin(["--calibration_file", cal])
+    try:
+        assert _healthz(base_b)["int8_calibrated"] is True
+        b = _post(base_b, {"scene_graphs": [SG], "seed": 7,
+                           "return": "npy"})
+    finally:
+        httpd_b.shutdown()
+    assert a["images"] == b["images"]  # byte-identical across restart
+
+
+def test_startup_calibration_flag_validation(tmp_path):
+    """The calibration-file flags require the int8 tier and are mutually
+    exclusive — validated before any engine work."""
+    from sg2im_tpu.cli.serve import build_parser, startup_calibration
+
+    args = build_parser().parse_args(
+        ["--checkpoint", "x.pt", "--calibration_file", "c.json"])
+    with pytest.raises(SystemExit, match="quantize int8"):
+        startup_calibration(args, [])
+    args = build_parser().parse_args(
+        ["--checkpoint", "x.pt", "--quantize", "int8",
+         "--calibration_file", "c.json", "--calibrate_graphs", "g.json"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        startup_calibration(args, [])
+    # no calibration flags at all: a silent no-op
+    args = build_parser().parse_args(["--checkpoint", "x.pt"])
+    assert startup_calibration(args, []) is False
+
+
 def test_latency_histogram_quantiles():
     """Unit-level: interpolated quantiles land in the right bucket and
     min/max/sum/count are exact."""
